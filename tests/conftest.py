@@ -1,0 +1,24 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding is exercised on CPU (no TPU pod in CI); bench.py and the
+driver's graft entry run on the real chip.  Env vars must be set before the
+first jax import, hence this conftest.
+"""
+
+import os
+
+# Hard override: the machine-global default is JAX_PLATFORMS=axon (one real
+# TPU via a tunnel); unit tests must run on the virtual CPU mesh.  The axon
+# PJRT plugin also gets stripped from the import path - merely importing it
+# can stall for minutes when the TPU tunnel is contended.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PYTHONPATH"] = ":".join(
+    p for p in os.environ.get("PYTHONPATH", "").split(":") if "axon" not in p
+)
+import sys  # noqa: E402
+
+sys.path[:] = [p for p in sys.path if "axon" not in p]
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
