@@ -1,0 +1,93 @@
+"""Phore parser + padded complex construction, golden-checked on the sQC
+example data shipped with the reference."""
+
+import numpy as np
+import pytest
+
+from diffphore_tpu.chem import parse_sdf
+from diffphore_tpu.data.graphs import build_complex, concat_batches, pad_to_bucket, repeat_batch
+from diffphore_tpu.data.phore import PHORETYPES, build_phore_graph, parse_phore, write_phore
+
+SQC = "/root/reference/examples/phore/sQC_QFA_complex.phore"
+LIG = "/root/reference/examples/ligands/STK243239.sdf"
+
+
+@pytest.fixture(scope="module")
+def sqc():
+    return parse_phore(SQC)[0]
+
+
+def test_parse_sqc(sqc):
+    assert sqc.id == "sQC_Substrate"
+    types = [f.type for f in sqc.features]
+    assert types == ["MB", "HD", "HD", "HD", "HA"]
+    assert len(sqc.exclusion_volumes) == 74
+    mb = sqc.features[0]
+    assert mb.weight == 1.5 and mb.alpha == 1.0 and mb.has_norm
+    assert np.allclose(mb.coord, (36.397, 46.317, 53.961))
+    ex = sqc.exclusion_volumes[0]
+    assert ex.alpha == 0.837 and not ex.has_norm
+
+
+def test_phore_graph_topology(sqc):
+    g = build_phore_graph(sqc)
+    P = g.pos.shape[0]
+    assert P == 79 and g.num_features == 5
+    src, dst = g.edge_index
+    # features fully connected among themselves
+    feat_edges = [(s, d) for s, d in zip(src, dst) if s < 5]
+    assert len(feat_edges) == 5 * 4
+    assert all(d < 5 for _, d in feat_edges)
+    # no self edges; every node has at least one outgoing edge
+    assert (src != dst).all()
+    assert set(range(P)) == set(src.tolist())
+    # featurizer columns: EX rows have type index 10 and is_ex index 0
+    assert (g.x[5:, 0] == 10).all() and (g.x[5:, 1] == 0).all()
+    assert (g.x[:5, 1] == 1).all()
+    # norms: unit for has_norm features, zero for EX
+    assert np.allclose(np.linalg.norm(g.norm[:5], axis=1), 1.0, atol=1e-6)
+    assert np.allclose(g.norm[5:], 0.0)
+
+
+def test_phore_roundtrip(tmp_path, sqc):
+    path = write_phore(sqc, str(tmp_path), name="roundtrip")
+    back = parse_phore(path)[0]
+    assert len(back.features) == 5 and len(back.exclusion_volumes) == 74
+    assert np.allclose(back.features[0].coord, sqc.features[0].coord, atol=1e-3)
+
+
+def test_build_complex(sqc):
+    mol = parse_sdf(LIG)[0].remove_hs()
+    c = build_complex("sQC__STK243239", mol, sqc)
+    assert c.batch_size == 1
+    assert c.num_atoms % 8 == 0 and c.num_phore % 8 == 0
+    n = mol.num_atoms
+    assert c.lig_mask[0].sum() == n
+    assert c.phore_mask[0].sum() == 79
+    # centered: phore centroid at origin
+    ppos = np.asarray(c.phore_pos[0][np.asarray(c.phore_mask[0])])
+    assert np.allclose(ppos.mean(0), 0.0, atol=1e-4)
+    # bond adjacency symmetric, no self bonds
+    bm = np.asarray(c.bond_mask[0])
+    assert (bm == bm.T).all() and not bm.diagonal().any()
+    # phorefp nonzero somewhere, norms shaped (11, A, 3)
+    assert np.asarray(c.lig_phorefp[0]).sum() > 0
+    assert c.lig_norm.shape == (1, 11, c.num_atoms, 3)
+    # padded atoms have zero features
+    assert np.asarray(c.lig_feat[0][n:]).sum() == 0
+
+
+def test_repeat_and_concat(sqc):
+    mol = parse_sdf(LIG)[0].remove_hs()
+    c = build_complex("x", mol, sqc)
+    r = repeat_batch(c, 4)
+    assert r.batch_size == 4 and len(r.names) == 4
+    assert np.allclose(np.asarray(r.lig_pos[0]), np.asarray(r.lig_pos[3]))
+
+    c2 = build_complex("y", mol, sqc)
+    a_pad = max(c.num_atoms, c2.num_atoms)
+    p_pad = max(c.num_phore, c2.num_phore)
+    t_pad = max(c.num_torsions, c2.num_torsions)
+    padded = pad_to_bucket([c, c2], a_pad, p_pad, t_pad)
+    both = concat_batches(padded)
+    assert both.batch_size == 2 and both.names == ("x", "y")
