@@ -54,13 +54,34 @@ def sh_l2(unit: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def spherical_harmonics_lmax2(vec: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
+def irrep1_to_cartesian(v: jnp.ndarray) -> jnp.ndarray:
+    """Convert an l=1 irrep feature (m = -1, 0, +1 ~ (y, z, x)) to a
+    Cartesian (x, y, z) vector.  Needed wherever a model's 1o/1e output is
+    interpreted geometrically (e.g. the tr/rot score heads)."""
+    return jnp.stack([v[..., 2], v[..., 0], v[..., 1]], axis=-1)
+
+
+def cartesian_to_irrep1(v: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`irrep1_to_cartesian`."""
+    return jnp.stack([v[..., 1], v[..., 2], v[..., 0]], axis=-1)
+
+
+def spherical_harmonics_lmax2(
+    vec: jnp.ndarray, normalize: bool = True, zero_safe: bool = False
+) -> jnp.ndarray:
     """Concatenated (Y0 | Y1 | Y2) of shape (..., 9).
 
     With ``normalize`` the input is unit-normalized first (e3nn
-    ``normalize=True`` semantics); zero vectors map to zero direction and
-    produce the constant l=0 part plus zeros-ish harmonics deterministically.
+    ``normalize=True`` semantics).  ``zero_safe`` maps zero-length inputs to
+    an all-zero SH vector: a fixed nonzero SH of a degenerate direction would
+    break rotation equivariance (the reference side-steps this with a
+    clip-to-positive hack on the norm channel, score_model_phore.py:877,
+    which itself injects a constant direction).
     """
     u = normalize_vec(vec) if normalize else vec
     y0 = jnp.ones(u.shape[:-1] + (1,), dtype=u.dtype)
-    return jnp.concatenate([y0, sh_l1(u), sh_l2(u)], axis=-1)
+    out = jnp.concatenate([y0, sh_l1(u), sh_l2(u)], axis=-1)
+    if zero_safe:
+        nz = jnp.linalg.norm(vec, axis=-1, keepdims=True) > 1e-8
+        out = out * nz
+    return out
