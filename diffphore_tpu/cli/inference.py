@@ -1,0 +1,330 @@
+"""Ligand-pharmacophore fitting / virtual screening CLI.
+
+Command-level re-implementation of the reference entry point
+(/root/reference/src/inference.py): same inputs (--phore_ligand_csv or
+--phore x --ligand), same artifact layout and schemas
+(ranked_poses/{name}_ranked.sdf, mapping_process/{name}/{name}.score +
+{name}_dock.log, inference_results.json, ranked_results.csv), same resume
+semantics (existing per-complex outputs are reused unless --overwrite).
+
+Run:
+  python -m diffphore_tpu.cli.inference --phore examples/x.phore \
+      --ligand lig.sdf --model_dir runs/my_model --out_dir results/run1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..models.score_model import ScoreModelConfig
+from ..sampler.sampling import SamplerSettings
+from ..utils import checkpoints
+from ..utils.logging import log_error, log_info, log_warn
+from .pipeline import ComplexJob, FitEngine
+
+
+def str2bool(v: str) -> bool:
+    return str(v).lower() in ("y", "yes", "true", "t", "1")
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    # input / output
+    p.add_argument("--phore_ligand_csv", type=str, default=None,
+                   help="CSV with columns `phore` and `ligand_description`")
+    p.add_argument("--phore", type=str, default=None, help=".phore file or directory")
+    p.add_argument("--ligand", type=str, default=None,
+                   help="SMILES, molecule file, .smi list or directory")
+    p.add_argument("--out_dir", type=str, default="results/user_inference")
+    p.add_argument("--overwrite", type=str2bool, default=False)
+    p.add_argument("--keep_local_structures", type=str2bool, default=True)
+    p.add_argument("--sample_per_complex", type=int, default=40)
+    # model
+    p.add_argument("--model_dir", type=str, default=None,
+                   help="Directory with model_parameters.yml + checkpoint")
+    p.add_argument("--ckpt", type=str, default=checkpoints.BEST_EMA_MODEL)
+    p.add_argument("--allow_random_init", type=str2bool, default=False,
+                   help="Run with random weights when no checkpoint exists (smoke tests)")
+    # sampling
+    p.add_argument("--inference_steps", type=int, default=20)
+    p.add_argument("--actual_steps", type=int, default=None)
+    p.add_argument("--no_random", action="store_true")
+    p.add_argument("--no_final_step_noise", action="store_true")
+    p.add_argument("--ode", action="store_true")
+    p.add_argument("--no_torsion", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    # scoring / reporting
+    p.add_argument("--fitness", type=int, default=1)
+    p.add_argument("--target_fishing", type=str2bool, default=False)
+    p.add_argument("--cutoff", type=float, default=None)
+    p.add_argument("--min_similarity", type=float, default=-1.0)
+    p.add_argument("--report_results", type=str2bool, default=True)
+    args = p.parse_args(argv)
+    if args.target_fishing:
+        args.fitness = 5
+    return args
+
+
+def read_input(phore_ligand_csv=None, phore=None, ligand=None) -> List[Dict]:
+    """Normalize inputs to [{'phore': path, 'ligand_description': str}]."""
+    import pandas as pd
+
+    if phore_ligand_csv and os.path.exists(phore_ligand_csv):
+        return pd.read_csv(phore_ligand_csv).drop_duplicates().to_dict("records")
+    records: List[Dict] = []
+    phore_list: List[str] = []
+    ligand_list: List[str] = []
+    if phore and os.path.exists(phore):
+        phore_list = (
+            sorted(os.path.join(phore, f) for f in os.listdir(phore))
+            if os.path.isdir(phore) else [phore]
+        )
+    if ligand is not None:
+        if os.path.isdir(ligand):
+            ligand_list = sorted(os.path.join(ligand, f) for f in os.listdir(ligand))
+        elif ligand.endswith(".smi") and os.path.exists(ligand):
+            ligand_list = [l.strip() for l in open(ligand) if l.strip()]
+        else:
+            ligand_list = [ligand]
+    for p in phore_list:
+        for l in ligand_list:
+            records.append({"phore": p, "ligand_description": l})
+    return records
+
+
+def complex_name(record: Dict) -> str:
+    from ..data.phore import parse_phore
+
+    phore_id = parse_phore(record["phore"])[0].id
+    desc = record["ligand_description"]
+    lig_id = os.path.basename(desc).split(".")[0] if os.path.exists(desc) else desc
+    return f"{phore_id}__{lig_id}"
+
+
+def write_score_file(path: str, name: str, ref_id: str, scores: Dict) -> None:
+    """Tab-separated score file honoring the reference column-index contract:
+    raw[-6:] = [custom fitness, target-fishing score, PhScore1..4]
+    (parse_score_file index map, process_pharmacophore.py:918)."""
+    n = len(scores["phscore1"])
+    with open(path, "w") as f:
+        for i in range(n):
+            row = [
+                f"{name}__{i}", "0.0", ref_id,
+                f"{int(scores['n_ref'][i])}",
+                f"{int(scores['n_matched'][i])}",
+                f"{scores['V_db'][i]:.6g}", f"{scores['V_ref'][i]:.6g}",
+                f"{scores['V_overlap'][i]:.6g}", f"{scores['match_pct'][i]:.6g}",
+                f"{scores['V_exOverlap'][i]:.6g}", f"{scores['anchor_pct'][i]:.6g}",
+                f"{scores['ov_pct'][i]:.6g}", f"{scores['ex_pct'][i]:.6g}",
+                f"{scores['fitness'][i]:.6g}", f"{scores['fitness'][i]:.6g}",
+                f"{scores['phscore1'][i]:.6g}", f"{scores['phscore2'][i]:.6g}",
+                f"{scores['phscore3'][i]:.6g}", f"{scores['phscore4'][i]:.6g}",
+            ]
+            f.write("\t".join(row) + "\n")
+
+
+def fit(args, engine: FitEngine, records: List[Dict], result_file: str) -> Dict:
+    """Per-complex sampling loop with per-complex resume journal."""
+    from ..chem.sdf import write_sdf
+
+    names, fitscores, run_times = [], [], []
+    os.makedirs(os.path.join(args.out_dir, "ranked_poses"), exist_ok=True)
+    for idx, record in enumerate(records):
+        try:
+            name = complex_name(record)
+        except Exception as e:  # noqa: BLE001
+            log_warn(f"Skipping record {record}: {e}")
+            continue
+        proc_dir = os.path.join(args.out_dir, "mapping_process", name)
+        docked_file = os.path.join(args.out_dir, "ranked_poses", f"{name}_ranked.sdf")
+        log_file = os.path.join(proc_dir, f"{name}_dock.log")
+
+        if os.path.exists(docked_file) and os.path.exists(log_file) and not args.overwrite:
+            log = json.load(open(log_file))
+            names.append(log["name"])
+            fitscores.append(log["fitscore"])
+            run_times.append(log["run_time"])
+            continue
+
+        t0 = time.time()
+        job = engine.prepare(name, record["ligand_description"], record["phore"],
+                             args.keep_local_structures)
+        if job is None:
+            log_warn(f"Featurization failed for `{name}`, skipped")
+            continue
+        if getattr(args, "allow_random_init", False) and not getattr(fit, "_calibrated", False):
+            engine.calibrate_batch_stats(job)
+            fit._calibrated = True
+        if args.min_similarity > 0:
+            sim = perfect_similarity(job)
+            if sim < args.min_similarity:
+                log_info(f"`{name}` excluded by fingerprint similarity "
+                         f"({sim:.2f} < {args.min_similarity:.2f})")
+                continue
+        try:
+            result = engine.run_complex(job)
+        except Exception as e:  # noqa: BLE001
+            log_error(f"Sampling failed for `{name}`: {e}")
+            continue
+        run_time = time.time() - t0
+
+        os.makedirs(proc_dir, exist_ok=True)
+        write_sdf(job.mol, os.path.join(proc_dir, f"{name}.sdf"),
+                  multi_coords=list(result["poses"]), name=name, marker="")
+        ref_id = name.split("__")[0]
+        write_score_file(os.path.join(proc_dir, f"{name}.score"), name, ref_id,
+                         result["scores"])
+        order = np.argsort(result["fitscore"])[::-1]
+        write_sdf(
+            job.mol, docked_file, multi_coords=[result["poses"][i] for i in order],
+            name=name, marker="rank",
+            properties={"fitscore": [f"{result['fitscore'][i]:.6g}" for i in order]},
+        )
+        json.dump({"name": name, "fitscore": result["fitscore"], "run_time": run_time},
+                  open(log_file, "w"), indent=4)
+        names.append(name)
+        fitscores.append(result["fitscore"])
+        run_times.append(run_time)
+        json.dump({"name": names, "fitscore": fitscores, "run_time": run_times},
+                  open(result_file + ".tmp", "w"), indent=4)
+        log_info(f"[{idx + 1}/{len(records)}] {name}: max fitscore "
+                 f"{max(result['fitscore']):.4f} in {run_time:.2f}s")
+    return {"name": names, "fitscore": fitscores, "run_time": run_times}
+
+
+def perfect_similarity(job: ComplexJob) -> float:
+    """Type/count-only fingerprint similarity (reference
+    get_perfect_similarity, inference.py:273-312)."""
+    from ..data.phore import PHORE_ALPHA, PHORE_WEIGHT
+
+    weights = np.asarray([1, 1, 1, 1, 1, 0, 1, 1, 1, 1, 0], float)
+    alpha = np.asarray(PHORE_ALPHA)
+    phore_volume = np.asarray(job.batch.phoretype[0]).sum(0)
+    lig_ph = np.asarray(job.batch.lig_ph[0])
+    overlap = np.minimum(lig_ph, phore_volume)
+    coeff = weights * 7.999999999 * (alpha * np.pi / 2) ** 1.5
+    wv = (phore_volume * coeff).sum()
+    if wv == 0:
+        return -1.0
+    return float((overlap * coeff).sum() / wv)
+
+
+def analyze_results(args, results: Dict) -> None:
+    """Rank + summarize -> ranked_results.csv (reference inference.py:321-350)."""
+    import pandas as pd
+
+    my_max = lambda x: max(x) if len(x) else -2.0
+    df = pd.DataFrame(results)
+    df["max_fitscore"] = df["fitscore"].map(my_max)
+    df["top5_mean_fitscore"] = df["fitscore"].map(lambda x: float(np.sort(x)[-5:].mean()))
+    df["target"] = df["name"].map(lambda x: x.split("__")[0])
+    df["ligand"] = df["name"].map(lambda x: x.split("__")[1])
+    df = df.sort_values(by=["max_fitscore", "top5_mean_fitscore"], ascending=False)
+    dump_file = os.path.join(args.out_dir, "ranked_results.csv")
+    log_info(f"Dumping results to `{dump_file}`")
+    df = df[["target", "ligand", "name", "run_time", "max_fitscore",
+             "top5_mean_fitscore", "fitscore"]]
+    df.to_csv(dump_file, sep="\t", index=False)
+    if args.cutoff is not None:
+        df[df["max_fitscore"] >= args.cutoff].to_csv(
+            os.path.join(args.out_dir, f"ranked_results_gt{args.cutoff}.csv"),
+            sep="\t", index=False)
+    if args.report_results and len(df):
+        n7 = int((df["max_fitscore"] >= 0.7).sum())
+        n4 = int((df["max_fitscore"] >= 0.4).sum())
+        print("#" * 25 + " Pharmacophore Alignment Summary " + "#" * 25)
+        print(f"Number of ligands with fitscore greater than 0.7: {n7} "
+              f"({100 * n7 / len(df):.2f}%)")
+        print(f"Number of ligands with fitscore greater than 0.4: {n4} "
+              f"({100 * n4 / len(df):.2f}%)")
+        print(f"Max fitscore: {df['max_fitscore'].max():.4f}")
+        print(f"Average max fitscore: {df['max_fitscore'].mean():.4f}")
+        print(f"Average runtime: {df['run_time'].mean():.4f}")
+
+
+def load_model(args):
+    """Config + variables from --model_dir; random init as a gated fallback."""
+    import jax
+
+    from ..data.graphs import build_complex  # noqa: F401 (featurize dependency)
+    from ..models import ScoreModel
+
+    if args.model_dir and os.path.exists(
+        os.path.join(args.model_dir, checkpoints.MODEL_PARAMS_YAML)
+    ):
+        cfg = checkpoints.load_config_yaml(args.model_dir)
+    else:
+        log_warn("No model_parameters.yml found; using default (shipped-best) config")
+        cfg = ScoreModelConfig()
+
+    ckpt_path = os.path.join(args.model_dir or "", args.ckpt)
+    model = ScoreModel(cfg)
+    # template init on a tiny dummy complex
+    from ..chem.smiles import mol_from_smiles
+    from ..chem.embed import embed_molecule
+    from ..data.phore import Phore, PhoreFeature
+
+    dummy_mol = mol_from_smiles("CCO")
+    embed_molecule(dummy_mol)
+    dummy_phore = Phore("d", [
+        PhoreFeature("HA", 1.0, 1.2, 1, (0.0, 0.0, 0.0), False, (0, 0, 0)),
+        PhoreFeature("HD", 1.0, 1.2, 1, (1.0, 0.0, 0.0), False, (0, 0, 0)),
+    ], [])
+    dummy = build_complex("d", dummy_mol, dummy_phore)
+    variables = model.init(jax.random.PRNGKey(args.seed), dummy)
+    if args.model_dir and os.path.exists(ckpt_path):
+        log_info(f"Loading checkpoint `{ckpt_path}`")
+        variables = checkpoints.load_variables(variables, ckpt_path)
+    elif args.allow_random_init:
+        log_warn("Running with RANDOM weights (--allow_random_init): poses are "
+                 "for pipeline smoke-testing only")
+    else:
+        raise FileNotFoundError(
+            f"Checkpoint not found at `{ckpt_path}`; pass --allow_random_init "
+            "to smoke-test the pipeline without trained weights")
+    return cfg, variables
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+    result_file = os.path.join(args.out_dir, "inference_results.json")
+
+    records = read_input(args.phore_ligand_csv, args.phore, args.ligand)
+    log_info(f"Number of fitting samples: {len(records)}")
+    if not records:
+        log_error("No valid fitting samples, please check your input.")
+        return
+
+    if not os.path.exists(result_file) or args.overwrite:
+        cfg, variables = load_model(args)
+        settings = SamplerSettings(
+            inference_steps=args.inference_steps, actual_steps=args.actual_steps,
+            no_random=args.no_random, no_final_step_noise=args.no_final_step_noise,
+            ode=args.ode, no_torsion=args.no_torsion,
+        )
+        engine = FitEngine(cfg, variables, args.sample_per_complex, settings,
+                           fitness=args.fitness, seed=args.seed)
+        log_info(f"Process files: {os.path.join(args.out_dir, 'mapping_process/')}")
+        log_info(f"Ranked poses:  {os.path.join(args.out_dir, 'ranked_poses/')}")
+        results = fit(args, engine, records, result_file)
+        if os.path.exists(result_file + ".tmp"):
+            shutil.move(result_file + ".tmp", result_file)
+        else:
+            json.dump(results, open(result_file, "w"), indent=4)
+        log_info(f"Phase timings: {engine.timers.report()}")
+    else:
+        results = json.load(open(result_file))
+    if results and results.get("name"):
+        analyze_results(args, results)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""On-device pharmacophore fitness scoring (Gaussian volume overlap).
+
+The reference shells out to the closed-source AncPhore C++ binary per complex
+with a 200 s timeout (process_pharmacophore.py:930-1000) - one of the two
+serial bottlenecks of its pipeline.  This module scores poses on device,
+batched, inside jit; the C++ CLI twin (native/ancphore_cli) preserves the
+file-level contract for external users.
+
+Scoring semantics were reverse-engineered from the reference's committed
+example outputs (examples/output/1/mapping_process/*.score) and in-repo
+constants; the following identities were verified EXACTLY against the score
+files:
+
+  self_volume(f)   = w_f * 8 * (pi / (2 alpha_f))**1.5
+  V_ref            = sum over ref features of self_volume         (99.2225)
+  ov_pct           = V_overlap / V_ref
+  ex_pct           = V_exOverlap / exvolume_cutoff (default 500)
+  PhScore_k        = w_o*(ov_pct - ex_pct) + w_p*match_pct + w_a*anchor_pct
+     PhScore1: (1, 0, 0)   PhScore2: (.5, .5, 0)
+     PhScore3: (.5, 0, .5) PhScore4: (1/3, 1/3, 1/3)
+  fitness index 1 (the CLI default "DfScore1") = PhScore1.
+
+V_overlap sums Gaussian pair volumes over same-type (ref feature, ligand
+atom-feature) pairs with the per-type weights/alphas of the in-repo tables
+(process_pharmacophore.py:56,74); exclusion overlap uses atom alphas
+K / r_vdw^2 with K = 2.41798725037 (score_model_phore.py:916-921).  AncPhore's
+internal feature *perception* differs from our SMARTS-rule perception, so
+absolute V_overlap values deviate (rank correlation ~0.7 on the committed
+40-pose golden set); all quantities are internally consistent, which is what
+pose ranking requires.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..data.phore import NUM_PHORETYPE, PHORE_ALPHA, PHORE_WEIGHT, Phore
+
+#: alpha = K / r^2 relating Gaussian sharpness to sphere radius
+K_ALPHA = 2.41798725037
+
+#: PhScore (overlap, percent, anchor) coefficient presets, by fitness index
+PHSCORE_COEFFS = {
+    1: (1.0, 0.0, 0.0),
+    2: (0.5, 0.5, 0.0),
+    3: (0.5, 0.0, 0.5),
+    4: (1.0 / 3, 1.0 / 3, 1.0 / 3),
+}
+
+
+@struct.dataclass
+class PhoreArrays:
+    """Padded reference-pharmacophore arrays for scoring (original frame)."""
+
+    coord: Any       # (P, 3)
+    type_onehot: Any  # (P, 11)
+    alpha: Any       # (P,)
+    weight: Any      # (P,)
+    anchor: Any      # (P,) anchor_weight
+    is_ex: Any       # (P,) bool
+    mask: Any        # (P,) bool
+
+
+def make_phore_arrays(phore: Phore, pad: Optional[int] = None) -> PhoreArrays:
+    pts = phore.all_points
+    P = len(pts)
+    pad = pad or P
+    coord = np.zeros((pad, 3), np.float32)
+    onehot = np.zeros((pad, NUM_PHORETYPE), np.float32)
+    alpha = np.ones(pad, np.float32)
+    weight = np.zeros(pad, np.float32)
+    anchor = np.zeros(pad, np.float32)
+    is_ex = np.zeros(pad, bool)
+    mask = np.zeros(pad, bool)
+    from ..data.phore import PHORETYPES
+
+    for k, p in enumerate(pts):
+        coord[k] = p.coord
+        t = PHORETYPES.index(p.type) if p.type in PHORETYPES else NUM_PHORETYPE - 1
+        onehot[k, t] = 1.0
+        alpha[k] = p.alpha
+        weight[k] = p.weight
+        anchor[k] = p.anchor_weight
+        is_ex[k] = p.type == "EX"
+        mask[k] = True
+    return PhoreArrays(coord, onehot, alpha, weight, anchor, is_ex, mask)
+
+
+def _self_volume(weight, alpha):
+    return weight * 8.0 * (jnp.pi / (2.0 * alpha)) ** 1.5
+
+
+def _pair_volume(w1, w2, a1, a2, r2):
+    return (
+        jnp.sqrt(w1 * w2)
+        * 8.0
+        * (jnp.pi / (a1 + a2)) ** 1.5
+        * jnp.exp(-a1 * a2 * r2 / (a1 + a2))
+    )
+
+
+def fitscore(
+    lig_coords: jnp.ndarray,   # (..., A, 3) poses in the phore's frame
+    lig_mask: jnp.ndarray,     # (A,) or (..., A)
+    lig_phorefp: jnp.ndarray,  # (A, 11) or (..., A, 11)
+    lig_vdw: jnp.ndarray,      # (A,) van-der-Waals radii
+    ref: PhoreArrays,
+    exvolume_cutoff: float = 500.0,
+    overlap_coeff: float = -1.0,
+    percent_coeff: float = -1.0,
+    anchor_coeff: float = -1.0,
+) -> Dict[str, jnp.ndarray]:
+    """Score poses against a reference pharmacophore. Fully batched/jittable.
+
+    Returns a dict with per-pose arrays: V_db, V_ref, V_overlap, match_pct,
+    V_exOverlap, anchor_pct, ov_pct, ex_pct, fitness, phscore1..phscore4.
+    """
+    feat_mask = ref.mask & ~ref.is_ex
+    ex_mask = ref.mask & ref.is_ex
+    fw = jnp.where(feat_mask, ref.weight, 0.0)
+
+    V_ref = _self_volume(fw, ref.alpha).sum()
+
+    type_w = jnp.asarray(PHORE_WEIGHT)
+    type_a = jnp.asarray(PHORE_ALPHA)
+    # db features: one per (atom, type) flag
+    db_w = lig_phorefp * type_w  # (..., A, 11)
+    db_active = lig_phorefp * lig_mask[..., None]
+    V_db = (_self_volume(db_w, type_a) * db_active).sum(axis=(-2, -1))
+
+    # pair volumes over the dense (atom, ref point) grid
+    d2 = jnp.sum((lig_coords[..., :, None, :] - ref.coord) ** 2, axis=-1)  # (..., A, P)
+    # per (atom, ref) the matching type weight/alpha: ref point has one type t
+    ref_t_alpha = (ref.type_onehot * type_a).sum(-1)     # (P,)
+    ref_t_weight_db = (ref.type_onehot * type_w).sum(-1)  # db-side weight for that type
+    same_type = jnp.einsum("...ak,pk->...ap", lig_phorefp, ref.type_onehot)
+    pair_mask = same_type * lig_mask[..., None] * feat_mask
+    vol = _pair_volume(ref.weight, ref_t_weight_db, ref.alpha, ref_t_alpha, d2)
+    vol = vol * pair_mask  # (..., A, P)
+    per_ref_overlap = vol.sum(axis=-2)  # (..., P)
+    V_overlap = per_ref_overlap.sum(axis=-1)
+
+    # matched ref features: same-type atom within r = sqrt(K / alpha)
+    r_match = jnp.sqrt(K_ALPHA / ref.alpha)
+    within = (jnp.sqrt(jnp.maximum(d2, 0.0)) <= r_match) & (pair_mask > 0)
+    matched = within.any(axis=-2) & feat_mask
+    n_ref = jnp.maximum(feat_mask.sum(), 1)
+    match_pct = matched.sum(axis=-1) / n_ref
+
+    # anchor percentage: anchor-weighted overlap / anchor-weighted self volume
+    anchor_w = jnp.where(feat_mask, ref.anchor, 0.0)
+    V_anchor = (_self_volume(fw, ref.alpha) * anchor_w).sum()
+    anchor_pct = (per_ref_overlap * anchor_w).sum(axis=-1) / jnp.maximum(V_anchor, 1e-9)
+
+    # exclusion overlap: EX spheres vs all heavy atoms
+    atom_alpha = K_ALPHA / jnp.maximum(lig_vdw, 1e-3) ** 2  # (A,)
+    ex_vol = _pair_volume(
+        ref.weight, 1.0, ref.alpha, atom_alpha[..., :, None], d2
+    )
+    ex_vol = ex_vol * (lig_mask[..., None] * ex_mask)
+    V_ex = ex_vol.sum(axis=(-2, -1))
+
+    ov_pct = V_overlap / jnp.maximum(V_ref, 1e-9)
+    ex_pct = V_ex / exvolume_cutoff
+
+    def phscore(w_o, w_p, w_a):
+        return w_o * (ov_pct - ex_pct) + w_p * match_pct + w_a * anchor_pct
+
+    custom = (
+        phscore(overlap_coeff, percent_coeff, anchor_coeff)
+        if overlap_coeff >= 0
+        else phscore(*PHSCORE_COEFFS[1])
+    )
+    out = {
+        "V_db": jnp.broadcast_to(V_db, ov_pct.shape),
+        "V_ref": jnp.broadcast_to(V_ref, ov_pct.shape),
+        "V_overlap": V_overlap, "match_pct": match_pct, "V_exOverlap": V_ex,
+        "anchor_pct": anchor_pct, "ov_pct": ov_pct, "ex_pct": ex_pct,
+        "fitness": custom,
+        "n_matched": matched.sum(axis=-1),
+        "n_ref": jnp.broadcast_to(n_ref, ov_pct.shape),
+    }
+    for k, coeffs in PHSCORE_COEFFS.items():
+        out[f"phscore{k}"] = phscore(*coeffs)
+    return out
+
+
+def fitness_by_index(scores: Dict[str, jnp.ndarray], fitness: int = 1) -> jnp.ndarray:
+    """Select the score the CLI --fitness flag refers to
+    (reference parse_score_file index map, process_pharmacophore.py:918)."""
+    table = {
+        1: "phscore1", 2: "phscore2", 3: "phscore3", 4: "phscore4",
+        5: "fitness", 6: "phscore1",
+    }
+    return scores[table.get(fitness, "phscore1")]

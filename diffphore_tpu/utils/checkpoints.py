@@ -1,0 +1,53 @@
+"""Checkpoint IO: flax msgpack files + the reference's naming conventions.
+
+The reference stores torch state dicts as ``last_model.pt`` /
+``best_ema_inference_epoch_model.pt`` next to a fully-resolved
+``model_parameters.yml`` (utils/utils.py:249-343, inference.py:76).  We keep
+the same directory layout with ``.msgpack`` files: variables (params +
+batch_stats) serialized with flax, optimizer/EMA state alongside for
+training resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import yaml
+from flax import serialization
+
+from ..models.score_model import ScoreModelConfig
+
+LAST_MODEL = "last_model.msgpack"
+BEST_EMA_MODEL = "best_ema_inference_epoch_model.msgpack"
+MODEL_PARAMS_YAML = "model_parameters.yml"
+
+
+def save_variables(variables: Any, path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+
+
+def load_variables(template: Any, path: str) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def save_config_yaml(cfg: ScoreModelConfig, model_dir: str, extra: Optional[Dict] = None) -> str:
+    """Persist the resolved config with reference-compatible field names."""
+    os.makedirs(model_dir, exist_ok=True)
+    d = dataclasses.asdict(cfg)
+    d["clash_cutoff"] = list(d["clash_cutoff"])
+    if extra:
+        d.update(extra)
+    path = os.path.join(model_dir, MODEL_PARAMS_YAML)
+    with open(path, "w") as f:
+        yaml.safe_dump(d, f, sort_keys=True)
+    return path
+
+
+def load_config_yaml(model_dir: str) -> ScoreModelConfig:
+    with open(os.path.join(model_dir, MODEL_PARAMS_YAML)) as f:
+        return ScoreModelConfig.from_reference_yaml(yaml.safe_load(f))

@@ -1,0 +1,72 @@
+"""End-to-end CLI test: single pair -> reference-schema artifacts + resume."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+SQC = "/root/reference/examples/phore/sQC_QFA_complex.phore"
+LIG = "/root/reference/examples/ligands/STK936575.sdf"
+
+
+@pytest.fixture(scope="module")
+def cli_run(tmp_path_factory):
+    out_dir = tmp_path_factory.mktemp("cli_out")
+    model_dir = tmp_path_factory.mktemp("model")
+    (model_dir / "model_parameters.yml").write_text(
+        "ns: 8\nnv: 4\nnum_conv_layers: 2\ndropout: 0.0\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+    cmd = [
+        sys.executable, "-m", "diffphore_tpu.cli.inference",
+        "--phore", SQC, "--ligand", LIG, "--out_dir", str(out_dir),
+        "--model_dir", str(model_dir), "--allow_random_init", "true",
+        "--sample_per_complex", "3", "--inference_steps", "4",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
+    return out_dir, proc, cmd, env
+
+
+def test_cli_exits_cleanly(cli_run):
+    out_dir, proc, *_ = cli_run
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Pharmacophore Alignment Summary" in proc.stdout
+
+
+def test_cli_artifact_contract(cli_run):
+    out_dir, proc, *_ = cli_run
+    name = "sQC_Substrate__STK936575"
+    # reference artifact layout (inference.py:180-261,321-350,449-455)
+    assert (out_dir / "inference_results.json").exists()
+    assert (out_dir / "ranked_results.csv").exists()
+    assert (out_dir / "ranked_poses" / f"{name}_ranked.sdf").exists()
+    proc_dir = out_dir / "mapping_process" / name
+    assert (proc_dir / f"{name}.score").exists()
+    assert (proc_dir / f"{name}_dock.log").exists()
+
+    header = open(out_dir / "ranked_results.csv").readline().strip().split("\t")
+    golden = open("/root/reference/examples/output/2/ranked_results.csv").readline().strip().split("\t")
+    assert header == golden
+
+    results = json.load(open(out_dir / "inference_results.json"))
+    assert results["name"] == [name]
+    assert len(results["fitscore"][0]) == 3
+    assert all(np.isfinite(results["fitscore"][0]))
+
+    # score-file column-index contract: raw[-4] is the DfScore1 column
+    row = open(proc_dir / f"{name}.score").readline().strip().split("\t")
+    assert len(row) >= 17
+    log = json.load(open(proc_dir / f"{name}_dock.log"))
+    assert abs(float(row[-4]) - log["fitscore"][0]) < 1e-4
+
+
+def test_cli_resume_journal(cli_run):
+    out_dir, proc, cmd, env = cli_run
+    # second run must reuse the per-complex journal (no re-sampling)
+    proc2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=120)
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    r1 = json.load(open(out_dir / "inference_results.json"))
+    assert "Alignment Summary" in proc2.stdout

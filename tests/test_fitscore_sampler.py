@@ -1,0 +1,156 @@
+"""Fitness scorer (vs AncPhore golden outputs) + reverse-diffusion sampler."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from diffphore_tpu.chem import parse_sdf
+from diffphore_tpu.chem.mol import vdw_radius
+from diffphore_tpu.chem.pharmacophore_rules import perceive_phore_types
+from diffphore_tpu.data.graphs import build_complex, repeat_batch
+from diffphore_tpu.data.phore import parse_phore
+from diffphore_tpu.models import ScoreModel, ScoreModelConfig
+from diffphore_tpu.ops.fitscore import fitscore, fitness_by_index, make_phore_arrays
+from diffphore_tpu.sampler import randomize_position, reverse_diffusion
+from diffphore_tpu.sampler.sampling import SamplerSettings
+
+GOLD = "/root/reference/examples/output/1/mapping_process/sQC_Substrate__STK936575"
+SQC = "/root/reference/examples/phore/sQC_QFA_complex.phore"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    poses = parse_sdf(f"{GOLD}/sQC_Substrate__STK936575.sdf")
+    rows = [l.strip().split("\t") for l in open(f"{GOLD}/sQC_Substrate__STK936575.score")]
+    num = np.array([[float(x) for x in r[3:]] for r in rows])
+    phore = parse_phore(SQC)[0]
+    return poses, num, phore
+
+
+def _score_poses(poses, phore):
+    mol = poses[0]
+    fp, _ = perceive_phore_types(mol)
+    coords = jnp.asarray(np.stack([p.coords for p in poses]), jnp.float32)
+    vdw = jnp.asarray([vdw_radius(a.atomic_num) for a in mol.atoms], jnp.float32)
+    ref = make_phore_arrays(phore)
+    return jax.jit(fitscore)(
+        coords, jnp.ones(mol.num_atoms, bool), jnp.asarray(fp, jnp.float32), vdw, ref
+    )
+
+
+def test_vref_exact(golden):
+    poses, num, phore = golden
+    s = _score_poses(poses, phore)
+    # V_ref identity verified EXACTLY against the AncPhore score file
+    assert np.allclose(float(s["V_ref"][0]), 99.2225, atol=1e-3)
+
+
+def test_score_columns_against_ancphore(golden):
+    poses, num, phore = golden
+    s = _score_poses(poses, phore)
+    V_ov_t, V_ex_t, fit_t = num[:, 4], num[:, 6], num[:, 10]
+    # exclusion overlap: strong agreement (same formula, same constants)
+    assert np.corrcoef(np.asarray(s["V_exOverlap"]), V_ex_t)[0, 1] > 0.9
+    # overlap volume + final score: rank correlation (perception differs)
+    my_fit = np.asarray(s["phscore1"])
+    rank = lambda x: np.argsort(np.argsort(x))
+    rc = np.corrcoef(rank(my_fit), rank(fit_t))[0, 1]
+    assert rc > 0.6, rc
+    # decoded combination identities hold internally
+    assert np.allclose(
+        my_fit, np.asarray(s["ov_pct"]) - np.asarray(s["ex_pct"]), atol=1e-6
+    )
+    assert np.allclose(
+        np.asarray(s["phscore4"]),
+        (np.asarray(s["ov_pct"]) + np.asarray(s["match_pct"]) + np.asarray(s["anchor_pct"])) / 3
+        - np.asarray(s["ex_pct"]) / 3,
+        atol=1e-6,
+    )
+    assert fitness_by_index(s, 1).shape == (40,)
+
+
+def test_clash_penalty_moves_score_down(golden):
+    """A pose shoved into the EX shell must score worse."""
+    poses, num, phore = golden
+    mol = poses[0]
+    fp, _ = perceive_phore_types(mol)
+    vdw = jnp.asarray([vdw_radius(a.atomic_num) for a in mol.atoms], jnp.float32)
+    ref = make_phore_arrays(phore)
+    ex_center = np.asarray([f.coord for f in phore.exclusion_volumes]).mean(0)
+    base = mol.coords
+    clashed = base + (ex_center - base.mean(0))  # centroid onto EX cloud
+    s = fitscore(
+        jnp.asarray(np.stack([base, clashed]), jnp.float32),
+        jnp.ones(mol.num_atoms, bool), jnp.asarray(fp, jnp.float32), vdw, ref,
+    )
+    assert float(s["V_exOverlap"][1]) > float(s["V_exOverlap"][0])
+
+
+# ---------------------------------------------------------------- sampler
+
+
+@pytest.fixture(scope="module")
+def sampler_setup():
+    mol = parse_sdf("/root/reference/examples/ligands/STK243239.sdf")[0].remove_hs()
+    phore = parse_phore(SQC)[0]
+    c = build_complex("s", mol, phore)
+    batch = repeat_batch(c, 4)
+    cfg = ScoreModelConfig(ns=8, nv=4, num_conv_layers=2, dropout=0.0)
+    model = ScoreModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    return batch, cfg, model, variables
+
+
+def test_randomize_position(sampler_setup):
+    batch, cfg, model, variables = sampler_setup
+    out = randomize_position(batch, jax.random.PRNGKey(1), tr_sigma_max=cfg.tr_sigma_max)
+    p0 = np.asarray(batch.lig_pos)
+    p1 = np.asarray(out.lig_pos)
+    mask = np.asarray(batch.lig_mask[0])
+    # poses actually moved, all 4 differently
+    assert not np.allclose(p0[0][mask], p1[0][mask], atol=1e-3)
+    assert not np.allclose(p1[0][mask], p1[1][mask], atol=1e-3)
+    # bond lengths preserved within each pose
+    bm = np.asarray(batch.bond_mask[0])
+    ii, jj = np.where(np.triu(bm))
+    d0 = np.linalg.norm(p0[0][ii] - p0[0][jj], axis=1)
+    for b in range(4):
+        d1 = np.linalg.norm(p1[b][ii] - p1[b][jj], axis=1)
+        assert np.allclose(d0, d1, atol=1e-3)
+    # centroid ~ N(0, tr_sigma_max): just check it's finite and not at origin
+    assert np.isfinite(p1).all()
+
+
+def test_reverse_diffusion_runs_jitted(sampler_setup):
+    batch, cfg, model, variables = sampler_setup
+    settings = SamplerSettings(inference_steps=4)
+
+    def score_fn(b):
+        out, _ = model.apply(b_vars, b, use_running_average=False, mutable=["batch_stats"])
+        return out
+
+    b_vars = variables
+
+    @jax.jit
+    def run(b, key):
+        b = randomize_position(b, key, tr_sigma_max=cfg.tr_sigma_max)
+        return reverse_diffusion(score_fn, b, key, cfg.sigma_schedule, settings)
+
+    out = run(batch, jax.random.PRNGKey(2))
+    p = np.asarray(out.lig_pos)
+    assert np.isfinite(p).all()
+    # bond lengths preserved through 4 denoise steps
+    p0 = np.asarray(batch.lig_pos[0])
+    bm = np.asarray(batch.bond_mask[0])
+    ii, jj = np.where(np.triu(bm))
+    d0 = np.linalg.norm(p0[ii] - p0[jj], axis=1)
+    for b in range(4):
+        d1 = np.linalg.norm(p[b][ii] - p[b][jj], axis=1)
+        assert np.allclose(d0, d1, atol=5e-3)
+    # trajectory mode
+    out2, traj = run2 = jax.jit(
+        lambda b, k: reverse_diffusion(score_fn, b, k, cfg.sigma_schedule, settings,
+                                       return_trajectory=True)
+    )(batch, jax.random.PRNGKey(3))
+    assert traj.shape == (4,) + batch.lig_pos.shape
