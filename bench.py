@@ -1,0 +1,92 @@
+"""Benchmark: end-to-end pose-sampling throughput on the local device.
+
+Measures the headline number from BASELINE.md - poses/second for the
+full pipeline (randomize -> 20-step reverse diffusion with the shipped-size
+model -> on-device fitness scoring) on the example complex.  The PyTorch
+reference runs ~3.1 poses/s end-to-end on the authors' GPU machine
+(examples/output/2/ranked_results.csv run_time column, 40 poses / ~13.1 s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_POSES_PER_SEC = 3.1  # reference end-to-end mean (BASELINE.md)
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_compile_cache")
+
+    from diffphore_tpu.models import ScoreModel, ScoreModelConfig
+    from diffphore_tpu.ops.fitscore import fitscore, make_phore_arrays
+    from diffphore_tpu.sampler import randomize_position, reverse_diffusion
+    from diffphore_tpu.sampler.sampling import SamplerSettings
+    from diffphore_tpu.chem import parse_sdf
+    from diffphore_tpu.chem.mol import vdw_radius
+    from diffphore_tpu.data.graphs import build_complex, repeat_batch
+    from diffphore_tpu.data.phore import parse_phore
+    import jax.numpy as jnp
+    import numpy as np
+
+    n_poses = 40
+    steps = 20
+    cfg = ScoreModelConfig()
+    model = ScoreModel(cfg)
+    settings = SamplerSettings(inference_steps=steps)
+
+    mol = parse_sdf("/root/reference/examples/ligands/STK936575.sdf")[0].remove_hs()
+    phore = parse_phore("/root/reference/examples/phore/sQC_QFA_complex.phore")[0]
+    c = build_complex("bench", mol, phore)
+    batch = repeat_batch(c, n_poses)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    ref = make_phore_arrays(phore, pad=batch.num_phore)
+    ref = ref.replace(coord=ref.coord - np.asarray(batch.orig_center[0]))
+    vdw = jnp.asarray([vdw_radius(z) for z in range(1, 120)], jnp.float32)[
+        batch.lig_feat[0, :, 0]
+    ]
+
+    @jax.jit
+    def run(variables, batch, key):
+        def score_fn(b):
+            return model.apply(variables, b)
+
+        k1, k2 = jax.random.split(key)
+        b = randomize_position(batch, k1, tr_sigma_max=cfg.tr_sigma_max)
+        b = reverse_diffusion(score_fn, b, k2, cfg.sigma_schedule, settings)
+        scores = fitscore(b.lig_pos, b.lig_mask[0], b.lig_phorefp[0], vdw, ref)
+        return b.lig_pos, scores["phscore1"]
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    pos, s = run(variables, batch, key)
+    jax.block_until_ready(pos)
+
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        key, sub = jax.random.split(key)
+        pos, s = run(variables, batch, sub)
+    jax.block_until_ready(pos)
+    dt = (time.perf_counter() - t0) / reps
+
+    poses_per_sec = n_poses / dt
+    print(
+        json.dumps(
+            {
+                "metric": "poses_per_sec_e2e_40x20steps",
+                "value": round(poses_per_sec, 2),
+                "unit": "poses/s",
+                "vs_baseline": round(poses_per_sec / BASELINE_POSES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

