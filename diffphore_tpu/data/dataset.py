@@ -1,0 +1,251 @@
+"""PhoreDataset: featurized ligand-pharmacophore complexes with disk caching.
+
+Re-design of the reference PhoreDataset (pdbbind_phore.py:394-1221):
+  * records are {'name', 'phore', 'ligand_description', optional 'orig_lig'};
+    PDBbind-layout helpers build records from a split file + data dir, and a
+    ligand-only mode synthesizes random pharmacophores (ZINC/ChEMBL path).
+  * featurization runs in a multiprocessing pool (chunked, resumable) and
+    caches each complex as one .npz keyed by a settings+record digest
+    (reference: pickled heterograph chunks keyed by CRC32, :459-475).
+  * complexes come out as B=1 ComplexBatch pytrees, bucket-padded so the
+    loader can concatenate them into fixed shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import multiprocessing
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..chem.sdf import read_molecule
+from ..chem.smiles import mol_from_smiles
+from ..utils.logging import log_info, log_warn
+from .graphs import ComplexBatch, build_complex
+from .phore import parse_phore
+
+
+def _bucket(x: int, step: int, minimum: int) -> int:
+    return max(minimum, ((x + step - 1) // step) * step)
+
+
+@dataclasses.dataclass
+class DatasetSettings:
+    remove_hs: bool = True
+    matching: bool = False
+    popsize: int = 20
+    maxiter: int = 20
+    consider_ex: bool = True
+    neighbor_cutoff: float = 5.0
+    ex_connected: bool = True
+    keep_original: bool = True
+    min_phore_num: int = 0
+    max_phore_num: int = 0        # 0 = unlimited (reference: 15 for eval)
+    max_lig_size: int = 0         # 0 = unlimited
+    a_step: int = 8
+    p_step: int = 16
+    t_step: int = 4
+    max_atoms: int = 96
+    max_phore_points: int = 160
+    max_torsions: int = 32
+    ligand_only: bool = False     # synthesize random phores from ligands
+    seed: int = 0
+
+    def digest(self) -> str:
+        return hashlib.md5(json.dumps(dataclasses.asdict(self), sort_keys=True).encode()).hexdigest()[:10]
+
+
+def _record_key(record: Dict) -> str:
+    return hashlib.md5(json.dumps(record, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def featurize_record(record: Dict, s: DatasetSettings) -> Optional[ComplexBatch]:
+    """Featurize one record -> B=1 padded ComplexBatch, or None on failure."""
+    name = record.get("name") or os.path.basename(
+        str(record.get("ligand_description", "lig"))
+    ).split(".")[0]
+    desc = record["ligand_description"]
+    try:
+        if os.path.exists(str(desc)):
+            mol = read_molecule(str(desc), remove_hs=s.remove_hs)
+        else:
+            mol = mol_from_smiles(str(desc))
+            from ..chem.embed import embed_molecule
+
+            embed_molecule(mol, seed=s.seed)
+        if mol is None or mol.num_atoms < 2:
+            return None
+        if s.max_lig_size and mol.num_atoms > s.max_lig_size:
+            log_warn(f"{name}: ligand too large ({mol.num_atoms} atoms), skipped")
+            return None
+
+        orig_pos = mol.coords.copy()
+        if s.matching:
+            from ..chem.conformer_matching import optimize_rotatable_bonds
+            from ..chem.embed import embed_molecule
+
+            matched = mol.copy()
+            embed_molecule(matched, seed=s.seed)
+            rmsd = optimize_rotatable_bonds(matched, orig_pos, s.popsize, s.maxiter)
+            mol = matched
+        else:
+            rmsd = 0.0
+
+        if s.ligand_only or not record.get("phore"):
+            from .phore_sampling import random_ligand_phore
+
+            phore = random_ligand_phore(mol, name, seed=s.seed + mol.num_atoms)
+            if phore is None:
+                return None
+        else:
+            phore = parse_phore(str(record["phore"]))[0]
+
+        n_feat = len(phore.features)
+        if s.min_phore_num and n_feat < s.min_phore_num:
+            return None
+        if s.max_phore_num and n_feat > s.max_phore_num:
+            return None
+        n_points = len(phore.all_points)
+        from ..chem.topology import rotatable_bonds
+
+        n_tor = len(rotatable_bonds(mol)[0])
+        a_pad = _bucket(mol.num_atoms, s.a_step, 16)
+        p_pad = _bucket(n_points, s.p_step, 16)
+        t_pad = _bucket(max(n_tor, 1), s.t_step, 4)
+        if a_pad > s.max_atoms or p_pad > s.max_phore_points or t_pad > s.max_torsions:
+            log_warn(f"{name}: exceeds bucket caps (A={a_pad}, P={p_pad}, T={t_pad}), skipped")
+            return None
+        return build_complex(
+            name, mol, phore, a_pad=a_pad, p_pad=p_pad, t_pad=t_pad,
+            orig_pos=orig_pos if s.keep_original else None,
+            meta={"phore_file": str(record.get("phore", "")), "rmsd_matching": rmsd},
+        )
+    except Exception as e:  # noqa: BLE001 - skip-and-log like the reference
+        log_warn(f"Featurization failed for `{name}`: {e}")
+        return None
+
+
+_ARRAY_FIELDS = None
+
+
+def _array_fields() -> List[str]:
+    global _ARRAY_FIELDS
+    if _ARRAY_FIELDS is None:
+        _ARRAY_FIELDS = [
+            f.name for f in dataclasses.fields(ComplexBatch)
+            if f.name not in ("names", "meta")
+        ]
+    return _ARRAY_FIELDS
+
+
+def save_complex(batch: ComplexBatch, path: str) -> None:
+    arrays = {k: np.asarray(getattr(batch, k)) for k in _array_fields()}
+    meta = dict(batch.meta[0])
+    orig = meta.pop("orig_pos", None)
+    if orig is not None:
+        arrays["__orig_pos"] = np.asarray(orig)
+    arrays["__meta"] = np.frombuffer(json.dumps(
+        {"name": batch.names[0], **{k: v for k, v in meta.items() if isinstance(v, (str, int, float))}}
+    ).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_complex(path: str) -> ComplexBatch:
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta"].tobytes()).decode())
+        name = meta.pop("name")
+        if "__orig_pos" in z.files:
+            meta["orig_pos"] = z["__orig_pos"]
+        kwargs = {k: z[k] for k in _array_fields()}
+    return ComplexBatch(names=(name,), meta=(meta,), **kwargs)
+
+
+def _worker(args):
+    record, settings_dict, cache_file = args
+    s = DatasetSettings(**settings_dict)
+    batch = featurize_record(record, s)
+    if batch is None:
+        return None
+    save_complex(batch, cache_file)
+    return cache_file
+
+
+class PhoreDataset:
+    """A list of featurized complexes, cached one .npz per complex."""
+
+    def __init__(
+        self,
+        records: Sequence[Dict],
+        settings: Optional[DatasetSettings] = None,
+        cache_path: str = "data/cache",
+        num_workers: int = 1,
+        name: str = "dataset",
+    ):
+        self.settings = settings or DatasetSettings()
+        self.records = list(records)
+        self.cache_dir = os.path.join(
+            cache_path, f"{name}_{self.settings.digest()}"
+        )
+        os.makedirs(self.cache_dir, exist_ok=True)
+        self.files: List[str] = []
+        self._preprocess(num_workers)
+
+    def _preprocess(self, num_workers: int) -> None:
+        todo = []
+        for r in self.records:
+            f = os.path.join(self.cache_dir, _record_key(r) + ".npz")
+            if os.path.exists(f):
+                self.files.append(f)
+            else:
+                todo.append((r, dataclasses.asdict(self.settings), f))
+        if todo:
+            log_info(f"Featurizing {len(todo)} complexes "
+                     f"({len(self.records) - len(todo)} cached) -> {self.cache_dir}")
+            if num_workers > 1:
+                with multiprocessing.Pool(num_workers, maxtasksperchild=32) as pool:
+                    results = pool.map(_worker, todo)
+            else:
+                results = [_worker(t) for t in todo]
+            self.files.extend(f for f in results if f)
+        log_info(f"Dataset ready: {len(self.files)}/{len(self.records)} complexes")
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> ComplexBatch:
+        return load_complex(self.files[idx])
+
+
+# ---------------------------------------------------------------- records IO
+def records_from_csv(path: str) -> List[Dict]:
+    import pandas as pd
+
+    return pd.read_csv(path).drop_duplicates().to_dict("records")
+
+
+def records_from_pdbbind_split(
+    split_file: str, data_dir: str, flag: str = "phore"
+) -> List[Dict]:
+    """PDBbind layout: {data_dir}/{flag}/{name}/{name}_complex.phore +
+    {data_dir}/ligands/{name}_ligand.(sdf|mol2) (reference pdbbind_phore.py
+    read_mol conventions)."""
+    names = [l.strip() for l in open(split_file) if l.strip()]
+    records = []
+    for n in names:
+        phore = os.path.join(data_dir, flag, n, f"{n}_complex.phore")
+        lig = None
+        for cand in (
+            os.path.join(data_dir, n, f"{n}_ligand.sdf"),
+            os.path.join(data_dir, n, f"{n}_ligand.mol2"),
+            os.path.join(data_dir, "ligands", f"{n}_ligand.sdf"),
+        ):
+            if os.path.exists(cand):
+                lig = cand
+                break
+        if lig and os.path.exists(phore):
+            records.append({"name": n, "phore": phore, "ligand_description": lig})
+    return records
