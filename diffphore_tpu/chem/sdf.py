@@ -54,6 +54,12 @@ def parse_mol_block(lines: List[str], name_hint: str = "") -> Molecule:
         elif ln.startswith("M  END"):
             break
     mol = Molecule(atoms, bonds, coords, name)
+    # H-free files (e.g. pose SDFs written after RemoveAllHs) carry no
+    # explicit hydrogens; fall back to valence-rule implicit counts so
+    # donor/acceptor perception still works.
+    if not any(a.atomic_num == 1 for a in atoms):
+        for a in atoms:
+            a.num_implicit_hs = None
     perceive_aromaticity(mol)
     return mol
 

@@ -1,0 +1,164 @@
+"""Test-set evaluation: sample poses for every test complex, compute the
+paper's metric battery, write performance_metrics.json + numpy dumps.
+
+Command-level equivalent of /root/reference/src/evaluate.py: same artifact
+names (performance_metrics.json, rmsds.npy, fitscore.npy,
+centroid_distances.npy, min_ex_cross_distances.npy, min_self_distances.npy)
+and metric keys (train/metrics.py).
+
+Run:
+  python -m diffphore_tpu.cli.evaluate --test_csv pairs.csv \
+      --model_dir runs/my_model --out_dir results/eval1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, List
+
+import numpy as np
+
+from ..data.dataset import DatasetSettings, PhoreDataset, records_from_csv, records_from_pdbbind_split
+from ..sampler.sampling import SamplerSettings
+from ..train.metrics import evaluate_results, pose_validity
+from ..utils import checkpoints
+from ..utils.logging import log_info, log_warn
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--test_csv", type=str, default=None)
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--split_test", type=str, default=None)
+    p.add_argument("--test_no_overlap", type=str, default=None,
+                   help="file listing complex names with no training overlap")
+    p.add_argument("--cache_path", type=str, default="data/cache")
+    p.add_argument("--out_dir", type=str, default="results/evaluation")
+    p.add_argument("--model_dir", type=str, required=False, default=None)
+    p.add_argument("--ckpt", type=str, default=checkpoints.BEST_EMA_MODEL)
+    p.add_argument("--allow_random_init", type=lambda v: str(v).lower() in ("1", "true", "t", "yes"), default=False)
+    p.add_argument("--sample_per_complex", type=int, default=40)
+    p.add_argument("--inference_steps", type=int, default=20)
+    p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--min_phore_num", type=int, default=3)
+    p.add_argument("--max_phore_num", type=int, default=15)
+    p.add_argument("--num_workers", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_symmetry_rmsd", type=lambda v: str(v).lower() in ("1", "true"), default=False,
+                   help="graph-automorphism RMSD (slower); default plain RMSD")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    from ..cli.inference import load_model
+    from ..cli.train import _run_batch_inference
+    from ..cli.pipeline import FitEngine
+    from ..chem.rmsd import plain_rmsd
+
+    args = parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+    if args.test_csv:
+        records = records_from_csv(args.test_csv)
+    elif args.data_dir and args.split_test:
+        records = records_from_pdbbind_split(args.split_test, args.data_dir)
+    else:
+        raise SystemExit("Provide --test_csv or (--data_dir, --split_test)")
+    if args.limit_complexes:
+        records = records[: args.limit_complexes]
+    settings = DatasetSettings(
+        min_phore_num=args.min_phore_num, max_phore_num=args.max_phore_num,
+        matching=False, keep_original=True,
+    )
+    dataset = PhoreDataset(records, settings, args.cache_path, args.num_workers, name="eval")
+    log_info(f"Evaluating {len(dataset)} complexes, {args.sample_per_complex} poses each")
+
+    args.model_dir = args.model_dir
+    cfg, variables = load_model(args)
+    engine = FitEngine(
+        cfg, variables, samples_per_complex=args.sample_per_complex,
+        settings=SamplerSettings(inference_steps=args.inference_steps),
+        seed=args.seed,
+    )
+
+    names: List[str] = []
+    all_rmsd, all_fit, all_centroid, all_ex, all_self, run_times = [], [], [], [], [], []
+    for i in range(len(dataset)):
+        batch = dataset[i]
+        meta = batch.meta[0]
+        if "orig_pos" not in meta:
+            log_warn(f"{batch.names[0]}: no ground-truth pose cached, skipped")
+            continue
+        if args.allow_random_init and i == 0:
+            engine.calibrate_batch_stats(batch)
+        t0 = time.time()
+        try:
+            poses, fits = _run_batch_inference(engine, batch)
+        except Exception as e:  # noqa: BLE001
+            log_warn(f"{batch.names[0]}: sampling failed ({e}), skipped")
+            continue
+        run_times.append(time.time() - t0)
+        n_atoms = int(meta["n_atoms"])
+        orig = np.asarray(meta["orig_pos"])[:n_atoms]
+        mol = None
+        if args.use_symmetry_rmsd and os.path.exists(meta.get("ligand_description", "")):
+            from ..chem.rmsd import symmetry_rmsd
+            from ..chem.sdf import read_molecule
+
+            mol = read_molecule(meta["ligand_description"], remove_hs=True)
+        if mol is not None:
+            rmsd = [symmetry_rmsd(mol, p[:n_atoms], orig) for p in poses]
+        else:
+            rmsd = [plain_rmsd(p[:n_atoms], orig) for p in poses]
+        center = np.asarray(batch.orig_center[0])
+        ex_mask = np.asarray(batch.phoretype[0, :, -1] == 1) & np.asarray(batch.phore_mask[0])
+        ex_coords = np.asarray(batch.phore_pos[0])[ex_mask] + center
+        validity = pose_validity(
+            poses[:, :n_atoms], np.asarray(batch.bond_mask[0])[:n_atoms, :n_atoms],
+            ex_coords, orig,
+        )
+        names.append(batch.names[0])
+        all_rmsd.append(rmsd)
+        all_fit.append(fits)
+        all_centroid.append(validity["centroid"])
+        all_ex.append(validity["min_ex"])
+        all_self.append(validity["min_self"])
+        log_info(f"[{len(names)}/{len(dataset)}] {batch.names[0]}: "
+                 f"best rmsd {min(rmsd):.2f} A, best fitscore {max(fits):.3f}")
+
+    if not names:
+        raise SystemExit("No complexes evaluated")
+    rmsds = np.asarray(all_rmsd)
+    fits = np.asarray(all_fit)
+    cent = np.asarray(all_centroid)
+    exd = np.asarray(all_ex)
+    selfd = np.asarray(all_self)
+    for fname, arr in (
+        ("rmsds.npy", rmsds), ("fitscore.npy", fits),
+        ("centroid_distances.npy", cent), ("min_ex_cross_distances.npy", exd),
+        ("min_self_distances.npy", selfd), ("run_times.npy", np.asarray(run_times)),
+    ):
+        np.save(os.path.join(args.out_dir, fname), arr)
+
+    no_overlap_idx = None
+    if args.test_no_overlap and os.path.exists(args.test_no_overlap):
+        keep = {l.strip() for l in open(args.test_no_overlap) if l.strip()}
+        no_overlap_idx = np.asarray(
+            [i for i, n in enumerate(names) if any(k in n for k in keep)], int
+        )
+    metrics = evaluate_results(
+        rmsds, fits, cent, exd, selfd, np.asarray(run_times), no_overlap_idx
+    )
+    out_path = os.path.join(args.out_dir, "performance_metrics.json")
+    json.dump(metrics, open(out_path, "w"), indent=4)
+    log_info(f"performance metrics -> {out_path}")
+    for k in ("rankbyFitscore_top1_rmsds_below_2", "rmsds_below_2",
+              "exclusion_clash_fraction", "mean_fitscore"):
+        if k in metrics:
+            log_info(f"  {k}: {metrics[k]}")
+
+
+if __name__ == "__main__":
+    main()

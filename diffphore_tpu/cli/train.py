@@ -237,6 +237,14 @@ def main(argv=None) -> None:
                                    weight_decay=args.w_decay)
     step_fn = make_train_step(cfg, tx, args.ema_rate, args.tr_weight,
                               args.rot_weight, args.tor_weight)
+    cc_step_fn = None
+    if args.rate_from_infer > 0:
+        from ..train.ccsampler import make_ccsampler_train_step
+
+        cc_step_fn = make_ccsampler_train_step(
+            cfg, tx, args.ema_rate, args.tr_weight, args.rot_weight,
+            args.tor_weight, args.delta_t,
+        )
     devices = jax.devices()
     if len(devices) > 1:
         from ..parallel.mesh import make_mesh, shard_train_step
@@ -245,9 +253,11 @@ def main(argv=None) -> None:
         if args.batch_size % len(devices):
             raise SystemExit("batch_size must divide the device count")
         step_jit = shard_train_step(step_fn, mesh)
+        cc_step_jit = jax.jit(cc_step_fn) if cc_step_fn else None
         log_info(f"Sharded training over {len(devices)} devices (data axis)")
     else:
         step_jit = jax.jit(step_fn)
+        cc_step_jit = jax.jit(cc_step_fn) if cc_step_fn else None
 
     # restart
     start_epoch = 0
@@ -273,13 +283,30 @@ def main(argv=None) -> None:
     lr = args.lr
 
     for epoch in range(start_epoch, args.n_epochs):
+        # CCSampler probability schedule (reference dynamic_schedule /
+        # epoch_from_infer gating, pdbbind_phore.py:236-241, 361-374)
+        p_cc = 0.0
+        if args.rate_from_infer > 0:
+            if args.dynamic_coeff > 0:
+                from ..train.ccsampler import dynamic_schedule
+
+                p_cc = dynamic_schedule(epoch, args.rate_from_infer,
+                                        args.epoch_from_infer, args.dynamic_coeff)
+            elif epoch >= args.epoch_from_infer:
+                p_cc = args.rate_from_infer
+        use_cc = cc_step_jit is not None and p_cc > 0
         meter = AverageMeter(["loss", "tr_loss", "rot_loss", "tor_loss"])
         t0 = time.time()
         for batch in loader:
             key, sub = jax.random.split(key)
             # strip host metadata: numpy arrays inside the static meta field
             # would break jit treedef equality
-            state, m = step_jit(state, batch.replace(names=(), meta=()), sub)
+            clean = batch.replace(names=(), meta=())
+            if use_cc:
+                state, m = cc_step_jit(state, clean, sub,
+                                       np.float32(p_cc))
+            else:
+                state, m = step_jit(state, clean, sub)
             meter.add({k: float(m[k]) for k in
                        ("loss", "tr_loss", "rot_loss", "tor_loss")})
         summary = meter.summary()

@@ -122,7 +122,8 @@ def featurize_record(record: Dict, s: DatasetSettings) -> Optional[ComplexBatch]
         return build_complex(
             name, mol, phore, a_pad=a_pad, p_pad=p_pad, t_pad=t_pad,
             orig_pos=orig_pos if s.keep_original else None,
-            meta={"phore_file": str(record.get("phore", "")), "rmsd_matching": rmsd},
+            meta={"phore_file": str(record.get("phore", "")),
+                  "ligand_description": str(desc), "rmsd_matching": rmsd},
         )
     except Exception as e:  # noqa: BLE001 - skip-and-log like the reference
         log_warn(f"Featurization failed for `{name}`: {e}")

@@ -75,6 +75,8 @@ class LigPhoreEncoder(nn.Module):
     by_radius: bool = False
     clash_tolerance: float = 0.4
     auto_phorefp: bool = False
+    use_att: bool = False
+    trioformer_layer: int = 1
 
     @property
     def irrep_seq(self):
@@ -147,9 +149,21 @@ class LigPhoreEncoder(nn.Module):
             p_attr, deterministic=deterministic)
         phore_edge_sh = spherical_harmonics_lmax2(p_vec)
 
+        # ---------------- geometric attention (use_att branch,
+        # score_model_phore.py:938-975): Trioformer-updated node features and
+        # a pair embedding conditioning the cross edges
+        z_ij = None
+        if self.use_att:
+            from .trioformer import GeometricAttention
+
+            lig_node_attr, phore_node_attr, z_ij = GeometricAttention(
+                ns, self.trioformer_layer, name="geometric_attention")(
+                lig_node_attr, phore_node_attr, batch.lig_pos, batch.phore_pos,
+                lig_mask, phore_mask, deterministic)
+
         # ---------------- knowledge-guided cross graph on (A, P)
         (cross_attr, cross_sh, cross_norm_sh, cross_mask) = self._cross_graph(
-            batch, node_sigma, cross_dist_exp, deterministic
+            batch, node_sigma, cross_dist_exp, deterministic, z_ij
         )
 
         # ---------------- message passing
@@ -252,7 +266,7 @@ class LigPhoreEncoder(nn.Module):
             self.ns, [2] * clashed.shape[-1], num_scalars=1, name="boarder_embedding"
         )(clashed.astype(jnp.int32), dis_min[..., None])
 
-    def _cross_graph(self, batch, node_sigma, cross_dist_exp, deterministic):
+    def _cross_graph(self, batch, node_sigma, cross_dist_exp, deterministic, z_ij=None):
         """The knowledge-guided (A, P) bipartite grid
         (_build_phoretype_cross_conv_graph :759-895)."""
         ns = self.ns
@@ -322,6 +336,13 @@ class LigPhoreEncoder(nn.Module):
 
                 if self.use_phore_match_feat:
                     edge_attr = jnp.concatenate([edge_attr, phoretype_attr], -1)
+
+            if self.use_att and z_ij is not None:
+                edge_attr = jnp.concatenate([edge_attr, z_ij], -1)
+                att_w = MLP(self.ns * 2, 1, self.dropout,
+                            activation=nn.leaky_relu, name="mlp_att")(
+                    z_ij, deterministic=deterministic)
+                edge_vec = edge_vec * nn.leaky_relu(att_w)
 
             if self.angle_match:
                 # lig norm selected by type agreement (B, A, P, 3)

@@ -62,6 +62,8 @@ class ScoreModelConfig:
     by_radius: bool = False
     clash_tolerance: float = 0.4
     auto_phorefp: bool = False
+    use_att: bool = False
+    trioformer_layer: int = 1
     # diffusion schedule
     tr_sigma_min: float = 0.1
     tr_sigma_max: float = 5.0
@@ -123,7 +125,8 @@ class ScoreModel(nn.Module):
             atom_weight=cfg.atom_weight, scaler=cfg.scaler, multiple=cfg.multiple,
             boarder=cfg.boarder, clash_cutoff=tuple(cfg.clash_cutoff),
             by_radius=cfg.by_radius, clash_tolerance=cfg.clash_tolerance,
-            auto_phorefp=cfg.auto_phorefp, name="encoder",
+            auto_phorefp=cfg.auto_phorefp, use_att=cfg.use_att,
+            trioformer_layer=cfg.trioformer_layer, name="encoder",
         )
         lig_attr, _ = encoder(
             batch, sigma_emb, deterministic=deterministic,

@@ -122,6 +122,8 @@ def fitscore(
     feat_mask = ref.mask & ~ref.is_ex
     ex_mask = ref.mask & ref.is_ex
     fw = jnp.where(feat_mask, ref.weight, 0.0)
+    # guard padded rows: alpha=0 would make the self-volume inf*0 = NaN
+    ref = ref.replace(alpha=jnp.where(ref.mask, ref.alpha, 1.0))
 
     V_ref = _self_volume(fw, ref.alpha).sum()
 

@@ -204,9 +204,15 @@ def sample_step(
     (reference sampling.py:501-559).  Returns (batch', tr_p, rot_p, tor_p)."""
     B, T = batch.lig_pos.shape[0], batch.tor_edges.shape[1]
     tr_score, rot_score, tor_score = score_fn(batch)
-    g_tr = schedule.g_tr(tr_sigma)
-    g_rot = schedule.g_rot(rot_sigma)
-    g_tor = schedule.g_tor(tor_sigma)
+    tr_score = jnp.nan_to_num(tr_score, posinf=0.0, neginf=0.0)
+    rot_score = jnp.nan_to_num(rot_score, posinf=0.0, neginf=0.0)
+    tor_score = jnp.nan_to_num(tor_score, posinf=0.0, neginf=0.0)
+    # sigmas may be per-graph arrays (CCSampler path): broadcast over the
+    # trailing component axis
+    col = lambda g: jnp.asarray(g).reshape(-1, 1) if jnp.ndim(g) else g
+    g_tr = col(schedule.g_tr(tr_sigma))
+    g_rot = col(schedule.g_rot(rot_sigma))
+    g_tor = col(schedule.g_tor(tor_sigma))
     k_tr, k_rot, k_tor = jax.random.split(key, 3)
     noise = 0.0 if no_random else 1.0
     if ode:
@@ -218,5 +224,9 @@ def sample_step(
         tr_p = g_tr**2 * delta_t * tr_score + g_tr * sq * noise * jax.random.normal(k_tr, (B, 3))
         rot_p = g_rot**2 * delta_t * rot_score + g_rot * sq * noise * jax.random.normal(k_rot, (B, 3))
         tor_p = g_tor**2 * delta_t * tor_score + g_tor * sq * noise * jax.random.normal(k_tor, (B, T))
+    # same sanity clamps as the reverse-diffusion scan
+    tor_p = (tor_p + jnp.pi) % (2 * jnp.pi) - jnp.pi
+    tr_p = jnp.clip(tr_p, -50.0, 50.0)
+    rot_p = jnp.clip(rot_p, -2 * jnp.pi, 2 * jnp.pi)
     tor_p = tor_p * batch.tor_mask
     return _apply_pose_update(batch, tr_p, rot_p, tor_p), tr_p, rot_p, tor_p
