@@ -44,7 +44,7 @@ def main() -> None:
     phore = parse_phore("/root/reference/examples/phore/sQC_QFA_complex.phore")[0]
     c = build_complex("bench", mol, phore)
     batch = repeat_batch(c, n_poses)
-    variables = model.init(jax.random.PRNGKey(0), batch)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     ref = make_phore_arrays(phore, pad=batch.num_phore)
     ref = ref.replace(coord=ref.coord - np.asarray(batch.orig_center[0]))
     vdw = jnp.asarray([vdw_radius(z) for z in range(1, 120)], jnp.float32)[

@@ -278,7 +278,7 @@ def load_model(args):
         PhoreFeature("HD", 1.0, 1.2, 1, (1.0, 0.0, 0.0), False, (0, 0, 0)),
     ], [])
     dummy = build_complex("d", dummy_mol, dummy_phore)
-    variables = model.init(jax.random.PRNGKey(args.seed), dummy)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(args.seed), dummy)
     if args.model_dir and os.path.exists(ckpt_path):
         log_info(f"Loading checkpoint `{ckpt_path}`")
         variables = checkpoints.load_variables(variables, ckpt_path)

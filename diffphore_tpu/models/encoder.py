@@ -77,6 +77,8 @@ class LigPhoreEncoder(nn.Module):
     auto_phorefp: bool = False
     use_att: bool = False
     trioformer_layer: int = 1
+    compute_dtype: str = "float32"
+    tp_mode: str = "fully_connected"
 
     @property
     def irrep_seq(self):
@@ -172,7 +174,9 @@ class LigPhoreEncoder(nn.Module):
             in_irreps=seq[min(i, len(seq) - 1)],
             out_irreps=seq[min(i + 1, len(seq) - 1)],
             n_edge_features=3 * ns, hidden_features=3 * ns,
-            batch_norm=self.batch_norm, dropout=self.dropout, name=f"{name}_{i}",
+            batch_norm=self.batch_norm, dropout=self.dropout,
+            compute_dtype=self.compute_dtype, tp_mode=self.tp_mode,
+            name=f"{name}_{i}",
         )
 
         for l in range(self.num_conv_layers):

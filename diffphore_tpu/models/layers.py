@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.irreps import parse
-from ..ops.tensor_product import fully_connected_tp
+from ..ops.tensor_product import channelwise_tp, fully_connected_tp
 
 
 class GaussianSmearing(nn.Module):
@@ -37,20 +37,26 @@ class GaussianSmearing(nn.Module):
 
 
 class MLP(nn.Module):
-    """Linear-ReLU-Dropout-Linear block used throughout the reference."""
+    """Linear-ReLU-Dropout-Linear block used throughout the reference.
+
+    ``dtype`` selects the computation precision (params stay float32);
+    bfloat16 here drives the MXU and halves HBM traffic on the hot edge-MLP
+    tensors.
+    """
 
     hidden: int
     out: int
     dropout: float = 0.0
     activation: Callable = nn.relu
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        x = nn.Dense(self.hidden, use_bias=self.use_bias)(x)
+        x = nn.Dense(self.hidden, use_bias=self.use_bias, dtype=self.dtype)(x)
         x = self.activation(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        return nn.Dense(self.out, use_bias=self.use_bias)(x)
+        return nn.Dense(self.out, use_bias=self.use_bias, dtype=self.dtype)(x)
 
 
 class CategoricalEncoder(nn.Module):
@@ -168,6 +174,12 @@ class DenseTPConv(nn.Module):
     residual: bool = False
     batch_norm: bool = True
     dropout: float = 0.0
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16" for the hot path
+    #: "fully_connected" = reference e3nn parameterization (uvw weights per
+    #: edge); "channelwise" = uvu weights per edge + static per-irrep mix -
+    #: same function class, ~20x smaller per-edge weight tensors (the TPU
+    #: fast path; see ops.tensor_product.ChannelwiseTP)
+    tp_mode: str = "fully_connected"
 
     @nn.compact
     def __call__(
@@ -187,9 +199,12 @@ class DenseTPConv(nn.Module):
         edge_attr/edge_mask.  The TP is linear in the edge weights, so the
         channels are fused into a single contraction; the masked mean counts
         every channel edge like the reference's scatter-mean."""
-        tp = fully_connected_tp(self.in_irreps, self.sh_irreps, self.out_irreps)
+        channelwise = self.tp_mode == "channelwise"
+        tp = (channelwise_tp if channelwise else fully_connected_tp)(
+            self.in_irreps, self.sh_irreps, self.out_irreps)
         hidden = self.hidden_features or self.n_edge_features
-        fc = MLP(hidden, tp.weight_numel, self.dropout, name="fc")
+        cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        fc = MLP(hidden, tp.weight_numel, self.dropout, dtype=cdt, name="fc")
 
         attrs = edge_attr if isinstance(edge_attr, (list, tuple)) else [edge_attr]
         masks = edge_mask if isinstance(edge_mask, (list, tuple)) else [edge_mask]
@@ -200,8 +215,32 @@ class DenseTPConv(nn.Module):
             counts = counts + m.sum(axis=-1)  # (..., N)
 
         x = sender_feat[..., None, :, :]  # (..., 1, M, dim) over receivers
-        msg = tp(jnp.broadcast_to(x, w.shape[:-1] + (x.shape[-1],)), edge_sh, w)
-        out = msg.sum(axis=-2) / jnp.maximum(counts, 1.0)[..., None]
+        if cdt is not None:
+            x = x.astype(cdt)
+            edge_sh = edge_sh.astype(cdt)
+        denom = jnp.maximum(counts, 1.0)
+        if channelwise:
+            # one einsum per path with the sender-sum folded in: never
+            # materializes per-edge contributions or a broadcast of x over
+            # receivers (those relayout copies dominated the profile)
+            blocks = tp.aggregate(sender_feat.astype(w.dtype), edge_sh, w)
+            parts = []
+            for (k, fan_in, mul_out), block in zip(tp.mix_specs, blocks):
+                mul, ir = tp.irreps_out.items[k]
+                if block is None:
+                    parts.append(jnp.zeros(
+                        w.shape[:-3] + (w.shape[-3], mul * ir.dim), jnp.float32))
+                    continue
+                agg = block.astype(jnp.float32) / denom[..., None, None]
+                mix = self.param(f"mix_{k}", nn.initializers.glorot_uniform(),
+                                 (fan_in, mul_out))
+                mixed = jnp.einsum("...fd,fv->...vd", agg, mix)
+                parts.append(mixed.reshape(mixed.shape[:-2] + (mul * ir.dim,)))
+            out = jnp.concatenate(parts, axis=-1)
+        else:
+            msg = tp(jnp.broadcast_to(x, w.shape[:-1] + (x.shape[-1],)), edge_sh, w)
+            msg = msg.astype(jnp.float32)
+            out = msg.sum(axis=-2) / denom[..., None]
 
         if self.residual and receiver_feat is not None:
             pad = out.shape[-1] - receiver_feat.shape[-1]

@@ -64,6 +64,12 @@ class ScoreModelConfig:
     auto_phorefp: bool = False
     use_att: bool = False
     trioformer_layer: int = 1
+    # computation precision of the tensor-product convolutions ("bfloat16"
+    # drives the MXU; geometry/score math stays float32)
+    compute_dtype: str = "bfloat16"
+    # tensor-product parameterization: "channelwise" (uvu + static mix, the
+    # TPU fast path) or "fully_connected" (reference e3nn uvw semantics)
+    tp_mode: str = "channelwise"
     # diffusion schedule
     tr_sigma_min: float = 0.1
     tr_sigma_max: float = 5.0
@@ -126,7 +132,8 @@ class ScoreModel(nn.Module):
             boarder=cfg.boarder, clash_cutoff=tuple(cfg.clash_cutoff),
             by_radius=cfg.by_radius, clash_tolerance=cfg.clash_tolerance,
             auto_phorefp=cfg.auto_phorefp, use_att=cfg.use_att,
-            trioformer_layer=cfg.trioformer_layer, name="encoder",
+            trioformer_layer=cfg.trioformer_layer,
+            compute_dtype=cfg.compute_dtype, tp_mode=cfg.tp_mode, name="encoder",
         )
         lig_attr, _ = encoder(
             batch, sigma_emb, deterministic=deterministic,
@@ -151,7 +158,8 @@ class ScoreModel(nn.Module):
         global_pred = DenseTPConv(
             in_irreps=lig_irreps, out_irreps="2x1o + 2x1e",
             n_edge_features=2 * ns, batch_norm=not cfg.no_batch_norm,
-            dropout=cfg.dropout, name="final_conv",
+            dropout=cfg.dropout, compute_dtype=cfg.compute_dtype,
+            tp_mode=cfg.tp_mode, name="final_conv",
         )(
             lig_attr, center_attr[:, None], center_sh[:, None],
             batch.lig_mask[:, None, :], receiver_mask=jnp.ones((B, 1), bool),
@@ -217,6 +225,7 @@ class ScoreModel(nn.Module):
             in_irreps=lig_irreps, out_irreps=f"{ns}x0o + {ns}x0e",
             sh_irreps=repr(tor_sh_irreps), n_edge_features=3 * ns,
             batch_norm=not cfg.no_batch_norm, dropout=cfg.dropout,
+            compute_dtype=cfg.compute_dtype, tp_mode=cfg.tp_mode,
             name="tor_bond_conv",
         )(
             lig_attr, t_attr, tor_sh, tmask,

@@ -79,8 +79,9 @@ class FullyConnectedTP:
             cg = jnp.asarray(wigner_3j(p.l_in, p.l_sh, p.l_out), dtype=x.dtype)
             # (..., u, i) x (..., j) x (i, j, k) x (..., u, v) -> (..., v, k)
             contrib = p.alpha * jnp.einsum(
-                "...ui,...j,ijk,...uv->...vk", xb, shb, cg, wb
-            )
+                "...ui,...j,ijk,...uv->...vk", xb, shb, cg, wb,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
             contrib = contrib.reshape(contrib.shape[:-2] + (p.mul_out * (2 * p.l_out + 1),))
             prev = out_blocks[p.i_out]
             out_blocks[p.i_out] = contrib if prev is None else prev + contrib
@@ -117,6 +118,108 @@ def fully_connected_tp(irreps_in: str, irreps_sh: str, irreps_out: str) -> Fully
         )
         offset += n
     return FullyConnectedTP(irr_in, irr_sh, irr_out, tuple(paths), offset)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelwiseTP:
+    """Channel-wise ("uvu") tensor product: one edge weight per input channel
+    per path, followed by a *static* per-irrep linear mix to the output
+    multiplicities.
+
+    This is the standard efficient reformulation of the fully-connected TP
+    (used by NequIP/Allegro-style networks): edge weights shrink from
+    sum(mul_in * mul_out) to sum(mul_in), which turns the dominant per-edge
+    weight tensor from ~3000 to ~150 floats per edge - the static mix runs as
+    one MXU matmul per output irrep on the *aggregated* node features, not per
+    edge.  Same function class; different (cheaper) parameterization.
+    """
+
+    irreps_in: Irreps
+    irreps_sh: Irreps
+    irreps_out: Irreps
+    paths: Tuple[_Path, ...]
+    weight_numel: int
+    #: per output irrep block: (block_index, fan_in_channels, mul_out)
+    mix_specs: Tuple[Tuple[int, int, int], ...]
+
+    def __call__(self, x: jnp.ndarray, sh: jnp.ndarray, weights: jnp.ndarray):
+        """Returns per-output-irrep stacked channels BEFORE the static mix:
+        a list aligned with irreps_out of (..., fan_in, 2l+1) arrays (None
+        when no path feeds that irrep)."""
+        in_slices = self.irreps_in.slices()
+        sh_slices = self.irreps_sh.slices()
+        blocks: List[List[jnp.ndarray]] = [[] for _ in self.irreps_out.items]
+        for p in self.paths:
+            xb = x[..., in_slices[p.i_in]]
+            xb = xb.reshape(xb.shape[:-1] + (p.mul_in, 2 * p.l_in + 1))
+            shb = sh[..., sh_slices[p.i_sh]]
+            wb = weights[..., p.w_slice[0]:p.w_slice[1]]  # (..., mul_in)
+            cg = jnp.asarray(wigner_3j(p.l_in, p.l_sh, p.l_out), dtype=x.dtype)
+            contrib = p.alpha * jnp.einsum(
+                "...ui,...j,ijk,...u->...uk", xb, shb, cg, wb,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            blocks[p.i_out].append(contrib)
+        out = []
+        for parts in blocks:
+            out.append(jnp.concatenate(parts, axis=-2) if parts else None)
+        return out
+
+    def aggregate(self, x: jnp.ndarray, sh: jnp.ndarray, weights: jnp.ndarray):
+        """Edge-summed TP: one einsum per path with the sender reduction
+        folded in.
+
+        Args:
+          x:  (B, M, dim_in) sender features (NOT broadcast over receivers).
+          sh: (B, N, M, sh_dim);  weights: (B, N, M, weight_numel), pre-masked.
+        Returns:
+          list aligned with irreps_out of (B, N, fan_in, 2l+1) sums over M.
+        """
+        in_slices = self.irreps_in.slices()
+        sh_slices = self.irreps_sh.slices()
+        blocks: List[List[jnp.ndarray]] = [[] for _ in self.irreps_out.items]
+        for p in self.paths:
+            xb = x[..., in_slices[p.i_in]]
+            xb = xb.reshape(xb.shape[:-1] + (p.mul_in, 2 * p.l_in + 1))
+            shb = sh[..., sh_slices[p.i_sh]]
+            wb = weights[..., p.w_slice[0]:p.w_slice[1]]
+            cg = jnp.asarray(wigner_3j(p.l_in, p.l_sh, p.l_out), dtype=x.dtype)
+            contrib = p.alpha * jnp.einsum(
+                "bmui,bnmj,ijk,bnmu->bnuk", xb, shb, cg, wb,
+                preferred_element_type=jnp.float32,
+            )
+            blocks[p.i_out].append(contrib)
+        return [
+            jnp.concatenate(parts, axis=-2) if parts else None for parts in blocks
+        ]
+
+
+@functools.lru_cache(maxsize=None)
+def channelwise_tp(irreps_in: str, irreps_sh: str, irreps_out: str) -> ChannelwiseTP:
+    """Build (and cache) the channel-wise path table."""
+    irr_in, irr_sh, irr_out = parse(str(irreps_in)), parse(str(irreps_sh)), parse(str(irreps_out))
+    raw_paths: List[List] = []
+    fan_in = [0] * len(irr_out)
+    for i, (mul_in, ir_in) in enumerate(irr_in):
+        for j, (mul_sh, ir_sh) in enumerate(irr_sh):
+            assert mul_sh == 1
+            for k, (mul_out, ir_out) in enumerate(irr_out):
+                if ir_out in ir_in * ir_sh:
+                    raw_paths.append([i, j, k, mul_in, mul_out, ir_in.l, ir_sh.l, ir_out.l])
+                    fan_in[k] += mul_in
+    paths: List[_Path] = []
+    offset = 0
+    for i, j, k, mul_in, mul_out, l_in, l_sh, l_out in raw_paths:
+        # component normalization only: the 1/sqrt(fan_in) factor lives in the
+        # static mix's glorot initialization
+        alpha = math.sqrt(2 * l_out + 1)
+        paths.append(_Path(i, j, k, mul_in, mul_out, l_in, l_sh, l_out,
+                           (offset, offset + mul_in), alpha))
+        offset += mul_in
+    mix_specs = tuple(
+        (k, fan_in[k], mul_out) for k, (mul_out, _) in enumerate(irr_out.items)
+    )
+    return ChannelwiseTP(irr_in, irr_sh, irr_out, tuple(paths), offset, mix_specs)
 
 
 @functools.lru_cache(maxsize=None)

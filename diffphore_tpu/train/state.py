@@ -50,7 +50,7 @@ def create_train_state(
     weight_decay: float = 0.0,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     model = ScoreModel(cfg)
-    variables = model.init(jax.random.PRNGKey(seed), example_batch)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(seed), example_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(lr, weight_decay)

@@ -96,7 +96,7 @@ def sampler_setup():
     phore = parse_phore(SQC)[0]
     c = build_complex("s", mol, phore)
     batch = repeat_batch(c, 4)
-    cfg = ScoreModelConfig(ns=8, nv=4, num_conv_layers=2, dropout=0.0)
+    cfg = ScoreModelConfig(ns=8, nv=4, num_conv_layers=2, dropout=0.0, compute_dtype="float32")
     model = ScoreModel(cfg)
     variables = model.init(jax.random.PRNGKey(0), batch)
     return batch, cfg, model, variables

@@ -19,7 +19,7 @@ from diffphore_tpu.models import ScoreModel, ScoreModelConfig
 SQC = "/root/reference/examples/phore/sQC_QFA_complex.phore"
 LIG = "/root/reference/examples/ligands/STK243239.sdf"
 
-CFG = ScoreModelConfig(ns=8, nv=4, num_conv_layers=2, dropout=0.0)
+CFG = ScoreModelConfig(ns=8, nv=4, num_conv_layers=2, dropout=0.0, compute_dtype="float32")
 
 
 @pytest.fixture(scope="module")
