@@ -59,6 +59,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--no_final_step_noise", action="store_true")
     p.add_argument("--ode", action="store_true")
     p.add_argument("--no_torsion", action="store_true")
+    p.add_argument("--random_samples", type=int, default=1,
+                   help=">1: per-step candidate resampling ranked by fitness")
     p.add_argument("--seed", type=int, default=0)
     # scoring / reporting
     p.add_argument("--fitness", type=int, default=1)
@@ -309,6 +311,7 @@ def main(argv=None) -> None:
             inference_steps=args.inference_steps, actual_steps=args.actual_steps,
             no_random=args.no_random, no_final_step_noise=args.no_final_step_noise,
             ode=args.ode, no_torsion=args.no_torsion,
+            random_samples=args.random_samples,
         )
         engine = FitEngine(cfg, variables, args.sample_per_complex, settings,
                            fitness=args.fitness, seed=args.seed)

@@ -157,10 +157,18 @@ class FitEngine:
             def score_fn(b):
                 return model.apply(variables, b, use_running_average=ura)
 
+            vdw = jnp.asarray(VDW_TABLE)[batch.lig_feat[0, :, 0]]
+            fitness_fn = None
+            if settings.random_samples > 1:
+                # per-step candidate selection by on-device fitness
+                fitness_fn = lambda b: fitscore(
+                    b.lig_pos, b.lig_mask[0], b.lig_phorefp[0], vdw, ref
+                )["phscore1"]
+
             k1, k2 = jax.random.split(key)
             b = randomize_position(batch, k1, settings.no_torsion, False, cfg.tr_sigma_max)
-            b = reverse_diffusion(score_fn, b, k2, cfg.sigma_schedule, settings)
-            vdw = jnp.asarray(VDW_TABLE)[b.lig_feat[0, :, 0]]
+            b = reverse_diffusion(score_fn, b, k2, cfg.sigma_schedule, settings,
+                                  fitness_fn=fitness_fn)
             scores = fitscore(
                 b.lig_pos, b.lig_mask[0], b.lig_phorefp[0], vdw, ref
             )

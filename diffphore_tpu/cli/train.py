@@ -77,6 +77,10 @@ def parse_args(argv=None):
     p.add_argument("--inference_earlystop_goal", type=str, default="max")
     p.add_argument("--early_stop_patience", type=int, default=0, help="0 = off")
     # ccsampler (calibrated conformation sampler)
+    p.add_argument("--reject", action="store_true",
+                   help="curriculum rejection sampling of noise draws")
+    p.add_argument("--reject_rate", type=float, default=0.3,
+                   help="cofactor: reject prob grows to this over training")
     p.add_argument("--rate_from_infer", type=float, default=0.0)
     p.add_argument("--epoch_from_infer", type=int, default=300)
     p.add_argument("--dynamic_coeff", type=float, default=0.0)
@@ -236,7 +240,8 @@ def main(argv=None) -> None:
     state, tx = create_train_state(cfg, example, seed=args.seed, lr=args.lr,
                                    weight_decay=args.w_decay)
     step_fn = make_train_step(cfg, tx, args.ema_rate, args.tr_weight,
-                              args.rot_weight, args.tor_weight)
+                              args.rot_weight, args.tor_weight,
+                              reject=args.reject)
     cc_step_fn = None
     if args.rate_from_infer > 0:
         from ..train.ccsampler import make_ccsampler_train_step
@@ -305,6 +310,11 @@ def main(argv=None) -> None:
             if use_cc:
                 state, m = cc_step_jit(state, clean, sub,
                                        np.float32(p_cc))
+            elif args.reject:
+                # reference sample_modification curriculum: y = cofactor *
+                # epoch / n_epochs (pdbbind_phore.py:195-203)
+                rp = np.float32(args.reject_rate * epoch / max(args.n_epochs, 1))
+                state, m = step_jit(state, clean, sub, rp)
             else:
                 state, m = step_jit(state, clean, sub)
             meter.add({k: float(m[k]) for k in

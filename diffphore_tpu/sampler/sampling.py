@@ -96,6 +96,10 @@ class SamplerSettings:
     no_final_step_noise: bool = False
     ode: bool = False
     no_torsion: bool = False
+    #: >1 enables per-step candidate resampling ranked by on-device fitness
+    #: (reference sampling_phore_with_fitscore, sampling.py:283-424, which
+    #: shells out to AncPhore per candidate set per step)
+    random_samples: int = 1
 
     @property
     def steps(self) -> int:
@@ -109,6 +113,7 @@ def reverse_diffusion(
     schedule: SigmaSchedule,
     settings: SamplerSettings,
     return_trajectory: bool = False,
+    fitness_fn: Optional[Callable] = None,
 ):
     """Run the reverse SDE/ODE.
 
@@ -117,6 +122,11 @@ def reverse_diffusion(
         Typically ``lambda b: model.apply(variables, b)`` with eval-mode
         batchnorm; the caller jits the whole thing.
       batch: randomized ComplexBatch (all poses stacked along B).
+      fitness_fn: (batch) -> (B,) pose fitness; required when
+        settings.random_samples > 1: each step draws that many candidate
+        noise realizations and keeps the best-scoring pose per row (the
+        reference's fitscore-guided sampler, but with the AncPhore subprocess
+        replaced by the on-device scorer so it stays inside the scan).
     Returns:
       final batch (and the (steps, B, A, 3) position trajectory if requested).
     """
@@ -152,23 +162,25 @@ def reverse_diffusion(
         g_tor = schedule.g_tor(tor_sigma)
 
         k_tr, k_rot, k_tor = jax.random.split(k, 3)
+        S = max(settings.random_samples, 1)
         if settings.ode:
             tr_p = 0.5 * g_tr**2 * dt * tr_score
             rot_p = 0.5 * g_rot**2 * dt * rot_score
             tor_p = 0.5 * g_tor**2 * dt * tor_score
+            S = 1
         else:
             noise_on = jnp.logical_not(
                 jnp.logical_or(settings.no_random, settings.no_final_step_noise & last)
             ).astype(jnp.float32)
-            z_tr = jax.random.normal(k_tr, (B, 3)) * noise_on
-            z_rot = jax.random.normal(k_rot, (B, 3)) * noise_on
-            z_tor = jax.random.normal(k_tor, (B, T)) * noise_on
+            z_tr = jax.random.normal(k_tr, (S, B, 3)) * noise_on
+            z_rot = jax.random.normal(k_rot, (S, B, 3)) * noise_on
+            z_tor = jax.random.normal(k_tor, (S, B, T)) * noise_on
             sqrt_dt = jnp.sqrt(dt)
             tr_p = g_tr**2 * dt * tr_score + g_tr * sqrt_dt * z_tr
             rot_p = g_rot**2 * dt * rot_score + g_rot * sqrt_dt * z_rot
             tor_p = g_tor**2 * dt * tor_score + g_tor * sqrt_dt * z_tor
         if settings.no_torsion:
-            tor_p = jnp.zeros((B, T))
+            tor_p = jnp.zeros(tor_p.shape[:-1] + (T,)) if tor_p.ndim > 2 else jnp.zeros((B, T))
         # sanity clamps: torsion updates are angles (wrapping is exact);
         # translation/rotation magnitudes are bounded far above anything a
         # trained score model produces, so this only guards un/under-trained
@@ -178,7 +190,22 @@ def reverse_diffusion(
         rot_p = jnp.clip(rot_p, -2 * jnp.pi, 2 * jnp.pi)
         tor_p = tor_p * b.tor_mask
 
-        b = _apply_pose_update(b, tr_p, rot_p, tor_p)
+        if S == 1 or fitness_fn is None:
+            if tr_p.ndim == 3:  # drop the candidate axis
+                tr_p, rot_p, tor_p = tr_p[0], rot_p[0], tor_p[0]
+            b = _apply_pose_update(b, tr_p, rot_p, tor_p)
+        else:
+            # candidate resampling: apply every noise draw, keep the
+            # best-scoring pose per row (one model forward, S cheap updates)
+            cands = jax.vmap(lambda a, c, d: _apply_pose_update(b, a, c, d))(
+                tr_p, rot_p, tor_p
+            )
+            fits = jax.vmap(fitness_fn)(cands)  # (S, B)
+            best = jnp.argmax(fits, axis=0)     # (B,)
+            sel = lambda arr: jnp.take_along_axis(
+                arr, best.reshape((1, B) + (1,) * (arr.ndim - 2)), axis=0
+            )[0]
+            b = b.replace(lig_pos=sel(cands.lig_pos), lig_norm=sel(cands.lig_norm))
         y = b.lig_pos if return_trajectory else None
         return b, y
 

@@ -80,6 +80,7 @@ def make_train_step(
     tr_weight: float = 0.33,
     rot_weight: float = 0.33,
     tor_weight: float = 0.33,
+    reject: bool = False,
 ):
     """Build the pure (state, batch, key) -> (state, metrics) step.
 
@@ -90,9 +91,12 @@ def make_train_step(
     model = ScoreModel(cfg)
     schedule = cfg.sigma_schedule
 
-    def step(state: TrainState, batch, key):
+    def step(state: TrainState, batch, key, reject_prob=0.0):
         k_noise, k_drop = jax.random.split(key)
-        noised, targets = apply_noise(batch, k_noise, schedule, no_torsion=cfg.no_torsion)
+        noised, targets = apply_noise(
+            batch, k_noise, schedule, no_torsion=cfg.no_torsion,
+            reject_prob=reject_prob if reject else 0.0,
+        )
 
         def loss_fn(params):
             preds, new_state = model.apply(

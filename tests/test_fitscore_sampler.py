@@ -154,3 +154,64 @@ def test_reverse_diffusion_runs_jitted(sampler_setup):
                                        return_trajectory=True)
     )(batch, jax.random.PRNGKey(3))
     assert traj.shape == (4,) + batch.lig_pos.shape
+
+
+def test_fitscore_guided_resampling(sampler_setup):
+    """random_samples>1: per-step candidates ranked by on-device fitness."""
+    batch, cfg, model, variables = sampler_setup
+    from diffphore_tpu.ops.fitscore import fitscore as fs, make_phore_arrays
+    from diffphore_tpu.chem.mol import vdw_radius
+
+    phore = parse_phore(SQC)[0]
+    ref = make_phore_arrays(phore, pad=batch.num_phore)
+    ref = ref.replace(coord=ref.coord - np.asarray(batch.orig_center[0]))
+    vdw = jnp.asarray([vdw_radius(z) for z in range(1, 120)], jnp.float32)[
+        batch.lig_feat[0, :, 0]]
+
+    settings = SamplerSettings(inference_steps=3, random_samples=3)
+
+    def score_fn(b):
+        out, _ = model.apply(variables, b, use_running_average=False,
+                             mutable=["batch_stats"])
+        return out
+
+    def fitness_fn(b):
+        return fs(b.lig_pos, b.lig_mask[0], b.lig_phorefp[0], vdw, ref)["phscore1"]
+
+    out = jax.jit(
+        lambda b, k: reverse_diffusion(score_fn, b, k, cfg.sigma_schedule,
+                                       settings, fitness_fn=fitness_fn)
+    )(batch, jax.random.PRNGKey(5))
+    p = np.asarray(out.lig_pos)
+    assert np.isfinite(p).all()
+    # bond lengths still preserved through candidate selection
+    p0 = np.asarray(batch.lig_pos[0])
+    bm = np.asarray(batch.bond_mask[0])
+    ii, jj = np.where(np.triu(bm))
+    d0 = np.linalg.norm(p0[ii] - p0[jj], axis=1)
+    d1 = np.linalg.norm(p[0][ii] - p[0][jj], axis=1)
+    assert np.allclose(d0, d1, atol=5e-3)
+
+
+def test_rejection_sampling_shifts_draws(sampler_setup):
+    """With reject_prob ~ 1 the accepted translation draws are biased small
+    relative to rotation/torsion (reference sample_modification curriculum)."""
+    batch, cfg, model, variables = sampler_setup
+    from diffphore_tpu.data.transforms import apply_noise
+
+    t = jnp.full((batch.batch_size,), 0.5)
+
+    def frac_tr_dominant(reject_prob, key):
+        noised, targets = apply_noise(batch, key, cfg.sigma_schedule, t=t,
+                                      reject_prob=reject_prob)
+        tr_sig, rot_sig, _ = cfg.sigma_schedule(t)
+        tr_mag = jnp.linalg.norm(targets.tr_score * tr_sig[:, None] ** 2, axis=-1) / tr_sig
+        # recover rot magnitude from score direction is awkward; compare the
+        # translation normalized magnitude distribution instead
+        return float(tr_mag.mean())
+
+    keys = [jax.random.PRNGKey(i) for i in range(8)]
+    base = np.mean([frac_tr_dominant(0.0, k) for k in keys])
+    rej = np.mean([frac_tr_dominant(jnp.asarray(0.99), k) for k in keys])
+    # rejection prunes translation-dominant draws -> smaller mean magnitude
+    assert rej < base, (rej, base)
