@@ -105,6 +105,21 @@ def parse_args(argv=None):
     p.add_argument("--rot_sigma_max", type=float, default=1.5)
     p.add_argument("--tor_sigma_min", type=float, default=0.0314)
     p.add_argument("--tor_sigma_max", type=float, default=3.14)
+
+    # TANKBind-style baseline mode (reference parsing.py:39 model_type;
+    # loss/epoch loops utils/training.py:150-166,557-624)
+    p.add_argument("--model_type", type=str, default="diff",
+                   choices=["diff", "tank"])
+    p.add_argument("--tank_hidden_dim", type=int, default=16)
+    p.add_argument("--tank_blocks", type=int, default=8)
+    p.add_argument("--no_affinity", action="store_true",
+                   help="tank: drop the affinity MSE term (consider_affinity)")
+    p.add_argument("--contact_as_class", action="store_true",
+                   help="tank: BCE contact classification instead of "
+                        "distance regression (pred_dis=False)")
+    p.add_argument("--contact_weight", type=float, default=1.0)
+    p.add_argument("--affinity_weight", type=float, default=0.01)
+    p.add_argument("--pose_weight", type=float, default=5.0)
     args = p.parse_args(argv)
     if args.config:
         import yaml
@@ -222,6 +237,106 @@ def _run_batch_inference(engine, batch):
     return pos + center, np.asarray(scores["phscore1"]).tolist()
 
 
+def _batch_affinity(batch) -> np.ndarray:
+    """Per-graph affinity labels from host metadata (the reference reads
+    ``data.affinity`` off the PDBbind records); 0 when the CSV has none."""
+    return np.asarray(
+        [float(m.get("affinity", 0.0) or 0.0) for m in batch.meta],
+        np.float32,
+    )
+
+
+def train_tank(args) -> None:
+    """model_type='tank' driver: distance-map/affinity training with the
+    same plateau-LR / EMA / checkpoint conventions as the diffusion loop
+    (reference train_tank_epoch + test_tank_epoch, utils/training.py)."""
+    import jax
+
+    from ..models.trioformer import TankPhore
+    from ..train.tank import (create_tank_train_state, make_tank_eval_step,
+                              make_tank_train_step)
+
+    train_ds, val_ds = build_datasets(args)
+    if len(train_ds) == 0:
+        raise SystemExit("Empty training dataset")
+    loader = BucketLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed)
+    model = TankPhore(args.tank_hidden_dim, args.tank_blocks)
+    example = next(iter(loader))
+    state, tx = create_tank_train_state(
+        model, example.replace(names=(), meta=()), seed=args.seed,
+        lr=args.lr, weight_decay=args.w_decay)
+    consider_affinity = not args.no_affinity
+    pred_dis = not args.contact_as_class
+    step_jit = jax.jit(make_tank_train_step(
+        model, tx, args.ema_rate, consider_affinity, pred_dis,
+        args.contact_weight, args.affinity_weight, args.pose_weight))
+    eval_jit = jax.jit(make_tank_eval_step(
+        model, consider_affinity, pred_dis, args.contact_weight,
+        args.affinity_weight, args.pose_weight))
+
+    if args.restart_dir:
+        ckpt = os.path.join(args.restart_dir, args.model_ckpt)
+        if os.path.exists(ckpt):
+            state = checkpoints.load_variables(state, ckpt)
+            log_info(f"Restarted tank model from `{ckpt}`")
+
+    metrics_out = MetricsWriter(os.path.join(args.run_dir, "metrics.jsonl"))
+    key = jax.random.PRNGKey(args.seed)
+    best_val = np.inf
+    plateau = 0
+    lr = args.lr
+    val_loader = (BucketLoader(val_ds, args.batch_size, shuffle=False)
+                  if val_ds is not None and len(val_ds) else None)
+
+    for epoch in range(args.n_epochs):
+        meter = AverageMeter(["loss"])
+        t0 = time.time()
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            aff = _batch_affinity(batch)
+            state, m = step_jit(state, batch.replace(names=(), meta=()),
+                                sub, aff)
+            meter.add({"loss": float(m["loss"])})
+        summary = meter.summary()
+        summary.update({"epoch": epoch, "lr": lr,
+                        "epoch_time": time.time() - t0, "mode": "tank"})
+        log_info(f"tank epoch {epoch}: loss={summary.get('loss', float('nan')):.4f} "
+                 f"({summary['epoch_time']:.1f}s)")
+        metrics_out.write(summary)
+        checkpoints.save_variables(
+            state, os.path.join(args.run_dir, checkpoints.LAST_MODEL))
+
+        val_loss = summary.get("loss", np.inf)
+        if val_loader is not None:
+            vmeter = AverageMeter(["loss", "contact_loss", "affinity_loss"])
+            for batch in val_loader:
+                vm = eval_jit(state.ema_variables,
+                              batch.replace(names=(), meta=()),
+                              _batch_affinity(batch))
+                vmeter.add({k: float(vm[k]) for k in
+                            ("loss", "contact_loss", "affinity_loss")})
+            vs = vmeter.summary()
+            vs.update({"epoch": epoch, "mode": "tank_val"})
+            metrics_out.write(vs)
+            val_loss = vs.get("loss", np.inf)
+            log_info(f"tank val: loss={val_loss:.4f}")
+        if val_loss < best_val - 1e-6:
+            best_val = val_loss
+            plateau = 0
+            checkpoints.save_variables(
+                state.ema_variables,
+                os.path.join(args.run_dir, checkpoints.BEST_EMA_MODEL))
+        else:
+            plateau += 1
+            if plateau > args.scheduler_patience:
+                lr *= args.lr_decay_factor
+                state = set_learning_rate(state, tx, lr)
+                plateau = 0
+                log_info(f"plateau: lr -> {lr:.2e}")
+    metrics_out.close()
+    log_info("Tank training finished.")
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
     os.makedirs(args.run_dir, exist_ok=True)
@@ -229,6 +344,10 @@ def main(argv=None) -> None:
 
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_compile_cache"))
+
+    if args.model_type == "tank":
+        train_tank(args)
+        return
 
     cfg = model_config_from_args(args)
     train_ds, val_ds = build_datasets(args)

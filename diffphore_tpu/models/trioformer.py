@@ -194,3 +194,40 @@ class E3Phore(nn.Module):
                              batch.lig_mask, batch.phore_mask, deterministic)
         # CoordRefine: identity (parity with the reference's stub)
         return h_l, h_p, z_ij
+
+
+class TankPhore(nn.Module):
+    """TANKBind-style model for ``model_type='tank'``: Trioformer trunk +
+    distance-map and affinity heads.
+
+    The reference declares the mode (parsing.py:39, loss_function_tank /
+    train_tank_epoch in utils/training.py:150-166,557-589 expect
+    ``model(data) -> (y_pred, affinity_pred)``) but its E3Phore forward is a
+    stub (e3phore.py:236-241 calls CoordRefine, a no-op); this is the working
+    TPU realization.  ``y_pred`` is the raw per-pair head output - cross
+    distances under the MSE loss (pred_dis=True) or contact logits under the
+    BCE loss - and ``affinity_pred`` pools the pair embedding per graph.
+    Predicted distance maps feed ops/coord_recovery.recover_coords for pose
+    generation.
+    """
+
+    hidden_dim: int = 16
+    n_blocks: int = 8
+
+    @nn.compact
+    def __call__(self, batch, deterministic: bool = True):
+        h_l, h_p, z_ij = E3Phore(self.hidden_dim, self.n_blocks,
+                                 name="trunk")(batch, deterministic)
+        pair_mask = (batch.lig_mask[:, :, None]
+                     & batch.phore_mask[:, None, :]).astype(z_ij.dtype)
+
+        d = nn.Dense(self.hidden_dim, name="dis_head_1")(z_ij)
+        d = nn.relu(d)
+        y_pred = nn.Dense(1, name="dis_head_2")(d)[..., 0]          # (B, A, P)
+
+        pooled = (z_ij * pair_mask[..., None]).sum((1, 2)) / jnp.maximum(
+            pair_mask.sum((1, 2)), 1.0)[:, None]
+        a = nn.Dense(self.hidden_dim, name="aff_head_1")(pooled)
+        a = nn.relu(a)
+        affinity_pred = nn.Dense(1, name="aff_head_2")(a)[..., 0]   # (B,)
+        return y_pred, affinity_pred

@@ -41,3 +41,56 @@ def test_e3phore_standalone():
     assert h_l.shape == (1, b.num_atoms, 8)
     assert z.shape == (1, b.num_atoms, b.num_phore, 8)
     assert np.isfinite(np.asarray(z)).all()
+
+
+def test_tank_training_step_and_recovery():
+    """model_type='tank': loss drops over a few jitted steps, eval step runs,
+    and the predicted distance map drives coordinate recovery."""
+    from diffphore_tpu.models.trioformer import TankPhore
+    from diffphore_tpu.train.tank import (create_tank_train_state,
+                                          dis_map_targets,
+                                          make_tank_eval_step,
+                                          make_tank_train_step)
+
+    b = _batch().replace(names=(), meta=())
+    model = TankPhore(hidden_dim=8, n_blocks=1)
+    state, tx = create_tank_train_state(model, b, lr=5e-3)
+    step = jax.jit(make_tank_train_step(model, tx))
+    key = jax.random.PRNGKey(0)
+    aff = jnp.asarray([1.5], jnp.float32)
+    losses = []
+    for _ in range(8):
+        key, sub = jax.random.split(key)
+        state, m = step(state, b, sub, aff)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    ev = jax.jit(make_tank_eval_step(model))(state.ema_variables, b, aff)
+    assert np.isfinite(float(ev["contact_loss"]))
+    assert float(ev["affinity_loss"]) >= 0.0
+
+    # BCE contact-classification variant (pred_dis=False)
+    step_bce = jax.jit(make_tank_train_step(model, tx, pred_dis=False))
+    _, m_bce = step_bce(state, b, key, aff)
+    assert np.isfinite(float(m_bce["loss"]))
+
+    # predicted dis_map -> pose via coordinate recovery
+    from diffphore_tpu.chem import parse_sdf
+    from diffphore_tpu.ops.coord_recovery import (las_distance_matrix,
+                                                  recover_coords)
+
+    y_pred, _ = model.apply(state.ema_variables, b)
+    mol = parse_sdf("/root/reference/examples/ligands/STK936575.sdf")[0].remove_hs()
+    holo, intra_mask = las_distance_matrix(mol)
+    A = b.num_atoms  # batch pads atoms; pad the LAS matrices to match
+    n = holo.shape[0]
+    holo = jnp.pad(holo, ((0, A - n), (0, A - n)))
+    intra_mask = jnp.pad(intra_mask, ((0, A - n), (0, A - n)))
+    cross_mask = np.asarray(b.lig_mask[0])[:, None] & np.asarray(b.phore_mask[0])[None, :]
+    coords, loss = recover_coords(
+        jax.random.PRNGKey(1), b.phore_pos[0], jnp.abs(y_pred[0]),
+        jnp.asarray(cross_mask), holo, intra_mask, n_init=2,
+    )
+    assert coords.shape == (A, 3)
+    assert np.isfinite(np.asarray(coords)).all()
