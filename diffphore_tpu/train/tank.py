@@ -30,6 +30,11 @@ def dis_map_targets(batch, dis_cutoff: float = 10.0) -> Tuple[jnp.ndarray, jnp.n
     (TANKBind convention: cross distances clamped at 10 A; a pair is a
     positive contact below the same cutoff).  Computed on device from the
     batch positions instead of in dataloader workers.
+
+    Assumes complex-frame data (PDBbind-style: the ligand pose and the
+    pharmacophore share the input coordinate frame, like every training
+    path here); a screening-style record whose ligand sits in an arbitrary
+    frame yields degenerate all-clamped targets.
     """
     d = jnp.linalg.norm(
         batch.lig_pos[:, :, None, :] - batch.phore_pos[:, None, :, :], axis=-1
@@ -163,3 +168,51 @@ def make_tank_eval_step(
         )
 
     return step
+
+
+def tank_pose_metrics(
+    model: TankPhore,
+    variables,
+    batch,
+    mols,
+    key: jax.Array,
+    n_init: int = 4,
+) -> dict:
+    """Pose generation + RMSD gate for the tank model: predict the cross
+    distance map, recover coordinates against LAS-constrained intra
+    distances, and report the rmsds_lt2 / rmsds_lt5 percentages (reference
+    inference_tank_epoch, utils/training.py:628-660, which loops per complex;
+    the recovery itself is jitted per graph here).
+
+    ``mols`` are the host Molecule objects aligned with the batch rows
+    (needed for the LAS matrices).  RMSD is against ``batch.lig_pos`` (the
+    crystal pose in the clean batch frame).
+    """
+    import numpy as np
+
+    from ..ops.coord_recovery import las_distance_matrix, recover_coords
+
+    y_pred, _ = model.apply(variables, batch, deterministic=True)
+    y_pred = jnp.abs(y_pred)
+    A = batch.num_atoms
+    rmsds = []
+    for g, mol in enumerate(mols):
+        holo, intra_mask = las_distance_matrix(mol)
+        n = holo.shape[0]
+        holo = jnp.pad(holo, ((0, A - n), (0, A - n)))
+        intra_mask = jnp.pad(intra_mask, ((0, A - n), (0, A - n)))
+        cross_mask = batch.lig_mask[g][:, None] & batch.phore_mask[g][None, :]
+        key, sub = jax.random.split(key)
+        coords, _ = recover_coords(
+            sub, batch.phore_pos[g], y_pred[g], cross_mask, holo, intra_mask,
+            n_init=n_init,
+        )
+        m = np.asarray(batch.lig_mask[g], bool)
+        diff = np.asarray(coords)[m] - np.asarray(batch.lig_pos[g])[m]
+        rmsds.append(float(np.sqrt((diff ** 2).sum(-1).mean())))
+    rmsds = np.asarray(rmsds)
+    return {
+        "rmsds": rmsds.tolist(),
+        "rmsds_lt2": float(100.0 * (rmsds < 2.0).mean()),
+        "rmsds_lt5": float(100.0 * (rmsds < 5.0).mean()),
+    }
