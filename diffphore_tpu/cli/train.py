@@ -120,6 +120,15 @@ def parse_args(argv=None):
     p.add_argument("--contact_weight", type=float, default=1.0)
     p.add_argument("--affinity_weight", type=float, default=0.01)
     p.add_argument("--pose_weight", type=float, default=5.0)
+
+    # confidence mode (reference parsing.py:127-130; loop branches
+    # training.py:253-261 - see train/confidence.py)
+    p.add_argument("--confidence_mode", action="store_true")
+    p.add_argument("--confidence_dropout", type=float, default=0.0)
+    p.add_argument("--confidence_no_batchnorm", action="store_true")
+    p.add_argument("--by_total", action="store_true",
+                   help="confidence: regress the total fitscore instead of "
+                        "the ph/ex overlap pair")
     args = p.parse_args(argv)
     if args.config:
         import yaml
@@ -337,6 +346,94 @@ def train_tank(args) -> None:
     log_info("Tank training finished.")
 
 
+def train_confidence(args) -> None:
+    """--confidence_mode driver: regress pose fitness of on-device-noised
+    poses against analytic fitscore labels (no AncPhore label-caching stage;
+    reference train_epoch confidence branch, utils/training.py:253-261)."""
+    import jax
+
+    from ..cli.pipeline import VDW_TABLE
+    from ..models.confidence import ConfidenceModel
+    from ..train.confidence import (create_confidence_train_state,
+                                    make_confidence_eval_step,
+                                    make_confidence_train_step)
+
+    cfg = model_config_from_args(args)
+    train_ds, val_ds = build_datasets(args)
+    if len(train_ds) == 0:
+        raise SystemExit("Empty training dataset")
+    loader = BucketLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed)
+    model = ConfidenceModel(cfg, args.confidence_dropout)
+    example = next(iter(loader))
+    state, tx = create_confidence_train_state(
+        model, example.replace(names=(), meta=()), seed=args.seed,
+        lr=args.lr, weight_decay=args.w_decay)
+    step_jit = jax.jit(make_confidence_train_step(
+        model, tx, VDW_TABLE, args.ema_rate, args.by_total))
+    eval_jit = jax.jit(make_confidence_eval_step(model, VDW_TABLE, args.by_total))
+
+    if args.restart_dir:
+        ckpt = os.path.join(args.restart_dir, args.model_ckpt)
+        if os.path.exists(ckpt):
+            state = checkpoints.load_variables(state, ckpt)
+            log_info(f"Restarted confidence model from `{ckpt}`")
+
+    metrics_out = MetricsWriter(os.path.join(args.run_dir, "metrics.jsonl"))
+    key = jax.random.PRNGKey(args.seed)
+    best_val = np.inf
+    plateau = 0
+    lr = args.lr
+    val_loader = (BucketLoader(val_ds, args.batch_size, shuffle=False)
+                  if val_ds is not None and len(val_ds) else None)
+    keys = ("loss", "loss_ph", "loss_ex", "loss_total")
+
+    for epoch in range(args.n_epochs):
+        meter = AverageMeter(list(keys))
+        t0 = time.time()
+        for batch in loader:
+            key, sub = jax.random.split(key)
+            state, m = step_jit(state, batch.replace(names=(), meta=()), sub)
+            meter.add({k: float(m[k]) for k in keys})
+        summary = meter.summary()
+        summary.update({"epoch": epoch, "lr": lr,
+                        "epoch_time": time.time() - t0, "mode": "confidence"})
+        log_info(f"confidence epoch {epoch}: loss={summary.get('loss', float('nan')):.4f} "
+                 f"ph={summary.get('loss_ph', 0):.4f} ex={summary.get('loss_ex', 0):.4f} "
+                 f"({summary['epoch_time']:.1f}s)")
+        metrics_out.write(summary)
+        checkpoints.save_variables(
+            state, os.path.join(args.run_dir, checkpoints.LAST_MODEL))
+
+        val_loss = summary.get("loss", np.inf)
+        if val_loader is not None:
+            vmeter = AverageMeter(list(keys))
+            for batch in val_loader:
+                key, sub = jax.random.split(key)
+                vm = eval_jit(state.ema_variables,
+                              batch.replace(names=(), meta=()), sub)
+                vmeter.add({k: float(vm[k]) for k in keys})
+            vs = vmeter.summary()
+            vs.update({"epoch": epoch, "mode": "confidence_val"})
+            metrics_out.write(vs)
+            val_loss = vs.get("loss", np.inf)
+            log_info(f"confidence val: loss={val_loss:.4f}")
+        if val_loss < best_val - 1e-6:
+            best_val = val_loss
+            plateau = 0
+            checkpoints.save_variables(
+                state.ema_variables,
+                os.path.join(args.run_dir, checkpoints.BEST_EMA_MODEL))
+        else:
+            plateau += 1
+            if plateau > args.scheduler_patience:
+                lr *= args.lr_decay_factor
+                state = set_learning_rate(state, tx, lr)
+                plateau = 0
+                log_info(f"plateau: lr -> {lr:.2e}")
+    metrics_out.close()
+    log_info("Confidence training finished.")
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
     os.makedirs(args.run_dir, exist_ok=True)
@@ -345,8 +442,14 @@ def main(argv=None) -> None:
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_compile_cache"))
 
+    if args.model_type == "tank" and args.confidence_mode:
+        raise SystemExit("--confidence_mode is a diff-model training mode; "
+                         "it cannot be combined with --model_type tank")
     if args.model_type == "tank":
         train_tank(args)
+        return
+    if args.confidence_mode:
+        train_confidence(args)
         return
 
     cfg = model_config_from_args(args)

@@ -94,3 +94,34 @@ def test_tank_training_step_and_recovery():
     )
     assert coords.shape == (A, 3)
     assert np.isfinite(np.asarray(coords)).all()
+
+
+def test_confidence_model_training_step():
+    """--confidence_mode: predictions (fitscore, ph, ex), loss drops over a
+    few jitted steps against on-device analytic labels."""
+    from diffphore_tpu.cli.pipeline import VDW_TABLE
+    from diffphore_tpu.models.confidence import ConfidenceModel
+    from diffphore_tpu.models.score_model import ScoreModelConfig
+    from diffphore_tpu.train.confidence import (
+        confidence_labels, create_confidence_train_state,
+        make_confidence_eval_step, make_confidence_train_step)
+
+    b = _batch().replace(names=(), meta=())
+    cfg = ScoreModelConfig(ns=4, nv=2, num_conv_layers=2, dropout=0.0,
+                           compute_dtype="float32")
+    model = ConfidenceModel(cfg)
+    fit, ph, ex = confidence_labels(b, VDW_TABLE)
+    assert np.isfinite(np.asarray(fit)).all()
+    state, tx = create_confidence_train_state(model, b, lr=5e-3)
+    step = jax.jit(make_confidence_train_step(model, tx, VDW_TABLE))
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(6):
+        key, sub = jax.random.split(key)
+        state, m = step(state, b, sub)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    ev = jax.jit(make_confidence_eval_step(model, VDW_TABLE, by_total=True))(
+        state.ema_variables, b, key)
+    assert np.isfinite(float(ev["loss_total"]))
