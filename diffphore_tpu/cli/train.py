@@ -76,6 +76,9 @@ def parse_args(argv=None):
     p.add_argument("--inference_earlystop_metric", type=str, default="valinf_rmsds_lt2")
     p.add_argument("--inference_earlystop_goal", type=str, default="max")
     p.add_argument("--early_stop_patience", type=int, default=0, help="0 = off")
+    p.add_argument("--test_sigma_intervals", type=int, default=0,
+                   help="val loss bucketed into this many t intervals "
+                        "(reference test_epoch sigma intervals; 0 = off)")
     # ccsampler (calibrated conformation sampler)
     p.add_argument("--reject", action="store_true",
                    help="curriculum rejection sampling of noise draws")
@@ -508,6 +511,8 @@ def main(argv=None) -> None:
     best_val_loss = np.inf
     plateau = 0
     lr = args.lr
+    eval_jit = None
+    val_loader = None
 
     for epoch in range(start_epoch, args.n_epochs):
         # CCSampler probability schedule (reference dynamic_schedule /
@@ -548,8 +553,40 @@ def main(argv=None) -> None:
                  f"tor={summary.get('tor_loss', 0):.3f} ({summary['epoch_time']:.1f}s)")
         metrics_out.write(summary)
 
-        # plateau LR control on train loss (val loss when val set exists)
-        cur = summary.get("loss", np.inf)
+        # val loss epoch (reference test_epoch runs every epoch when a val
+        # set exists; optional per-sigma-interval breakdown)
+        val_summary = None
+        if val_ds is not None and len(val_ds):
+            from ..data.loaders import BucketLoader as _BL
+            from ..train.state import make_eval_step
+
+            if eval_jit is None:
+                eval_jit = jax.jit(make_eval_step(
+                    cfg, args.tr_weight, args.rot_weight, args.tor_weight))
+                val_loader = _BL(val_ds, args.batch_size, shuffle=False)
+            keys_ = ("loss", "tr_loss", "rot_loss", "tor_loss",
+                     "tr_base_loss", "rot_base_loss", "tor_base_loss")
+            vmeter = AverageMeter(list(keys_))
+            n_int = max(args.test_sigma_intervals, 0)
+            for vb in val_loader:
+                key, sub = jax.random.split(key)
+                vm = eval_jit(state.variables, vb.replace(names=(), meta=()), sub)
+                per_graph = {k: np.asarray(vm[k]) for k in keys_}
+                ts = np.asarray(vm["t"])
+                for g in range(len(ts)):
+                    vmeter.add({k: per_graph[k][g] for k in keys_})
+                    if n_int > 1:
+                        idx = int(round(float(ts[g]) * (n_int - 1)))
+                        vmeter.add({k: per_graph[k][g] for k in keys_},
+                                   interval_idx=idx)
+            val_summary = vmeter.summary()
+            val_summary.update({"epoch": epoch, "mode": "val"})
+            metrics_out.write(val_summary)
+            log_info(f"val loss: {val_summary.get('loss', float('nan')):.4f}")
+
+        # plateau LR control on val loss (train loss without a val set),
+        # matching the reference's ReduceLROnPlateau wiring
+        cur = (val_summary or summary).get("loss", np.inf)
         if cur < best_val_loss - 1e-6:
             best_val_loss = cur
             plateau = 0

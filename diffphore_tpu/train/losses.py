@@ -35,25 +35,35 @@ def score_matching_loss(
     rot_weight: float = 0.33,
     tor_weight: float = 0.33,
     no_torsion: bool = False,
+    apply_mean: bool = True,
 ) -> Dict[str, jnp.ndarray]:
+    """``apply_mean=False`` returns per-graph (B,) losses instead of scalars
+    (the reference's apply_mean=False used by test_epoch's sigma-interval
+    bucketing, training.py:321,330-339)."""
     tr_pred, rot_pred, tor_pred = preds
     tr_sigma, rot_sigma, tor_sigma = schedule(t)
+    red = (lambda x: x.mean()) if apply_mean else (lambda x: x.mean(-1))
 
-    tr_loss = ((tr_pred - targets.tr_score) ** 2 * tr_sigma[:, None] ** 2).mean()
-    tr_base = ((targets.tr_score**2) * tr_sigma[:, None] ** 2).mean()
+    tr_loss = red((tr_pred - targets.tr_score) ** 2 * tr_sigma[:, None] ** 2)
+    tr_base = red((targets.tr_score**2) * tr_sigma[:, None] ** 2)
 
     rot_norm = so3.score_norm(rot_sigma)[:, None]
-    rot_loss = (((rot_pred - targets.rot_score) / rot_norm) ** 2).mean()
-    rot_base = ((targets.rot_score / rot_norm) ** 2).mean()
+    rot_loss = red(((rot_pred - targets.rot_score) / rot_norm) ** 2)
+    rot_base = red((targets.rot_score / rot_norm) ** 2)
 
     if no_torsion:
-        tor_loss = tor_base = jnp.zeros(())
+        tor_loss = tor_base = jnp.zeros(() if apply_mean else t.shape)
     else:
         tor_norm2 = torus.score_norm(targets.tor_sigma)[:, None]  # (B, 1)
         m = tor_mask.astype(tr_pred.dtype)
-        denom = jnp.maximum(m.sum(), 1.0)
-        tor_loss = (((tor_pred - targets.tor_score) ** 2 / tor_norm2) * m).sum() / denom
-        tor_base = (((targets.tor_score**2) / tor_norm2) * m).sum() / denom
+        if apply_mean:
+            denom = jnp.maximum(m.sum(), 1.0)
+            tor_loss = (((tor_pred - targets.tor_score) ** 2 / tor_norm2) * m).sum() / denom
+            tor_base = (((targets.tor_score**2) / tor_norm2) * m).sum() / denom
+        else:
+            denom = jnp.maximum(m.sum(-1), 1.0)
+            tor_loss = (((tor_pred - targets.tor_score) ** 2 / tor_norm2) * m).sum(-1) / denom
+            tor_base = (((targets.tor_score**2) / tor_norm2) * m).sum(-1) / denom
 
     loss = tr_loss * tr_weight + rot_loss * rot_weight + tor_loss * tor_weight
     return {

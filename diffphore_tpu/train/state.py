@@ -140,3 +140,33 @@ def make_train_step(
         return new_state, metrics
 
     return step
+
+
+def make_eval_step(
+    cfg: ScoreModelConfig,
+    tr_weight: float = 0.33,
+    rot_weight: float = 0.33,
+    tor_weight: float = 0.33,
+):
+    """Validation loss step (reference test_epoch, training.py:288-367):
+    noise the clean batch, run the eval-mode forward, return PER-GRAPH loss
+    components plus t so the host can bucket by sigma interval
+    (test_sigma_intervals)."""
+    model = ScoreModel(cfg)
+    schedule = cfg.sigma_schedule
+
+    def step(variables, batch, key):
+        noised, targets = apply_noise(batch, key, schedule,
+                                      no_torsion=cfg.no_torsion)
+        preds = model.apply(variables, noised, deterministic=True,
+                            use_running_average=False,
+                            mutable=["batch_stats"])[0]
+        metrics = score_matching_loss(
+            preds, targets, noised.t, batch.tor_mask, schedule,
+            tr_weight, rot_weight, tor_weight, cfg.no_torsion,
+            apply_mean=False,
+        )
+        metrics["t"] = noised.t
+        return metrics
+
+    return step

@@ -215,3 +215,32 @@ def test_rejection_sampling_shifts_draws(sampler_setup):
     rej = np.mean([frac_tr_dominant(jnp.asarray(0.99), k) for k in keys])
     # rejection prunes translation-dominant draws -> smaller mean magnitude
     assert rej < base, (rej, base)
+
+
+def test_score_matching_loss_per_graph():
+    """apply_mean=False returns (B,) per-graph components whose mean matches
+    the scalar reduction (test_sigma_intervals support)."""
+    import jax.numpy as jnp
+
+    from diffphore_tpu.ops.diffusion import SigmaSchedule
+    from diffphore_tpu.train.losses import ScoreTargets, score_matching_loss
+
+    rng = np.random.default_rng(0)
+    B, T = 6, 3
+    sched = SigmaSchedule()
+    t = jnp.asarray(rng.uniform(0.05, 0.95, B), jnp.float32)
+    preds = (jnp.asarray(rng.normal(size=(B, 3)), jnp.float32),
+             jnp.asarray(rng.normal(size=(B, 3)), jnp.float32),
+             jnp.asarray(rng.normal(size=(B, T)), jnp.float32))
+    tor_mask = jnp.ones((B, T), bool)
+    tgt = ScoreTargets(
+        tr_score=jnp.asarray(rng.normal(size=(B, 3)), jnp.float32),
+        rot_score=jnp.asarray(rng.normal(size=(B, 3)), jnp.float32),
+        tor_score=jnp.asarray(rng.normal(size=(B, T)), jnp.float32),
+        tor_sigma=sched(t)[2],
+    )
+    scalar = score_matching_loss(preds, tgt, t, tor_mask, sched)
+    per = score_matching_loss(preds, tgt, t, tor_mask, sched, apply_mean=False)
+    for k in ("tr_loss", "rot_loss", "tor_loss"):
+        assert per[k].shape == (B,)
+        assert np.allclose(float(per[k].mean()), float(scalar[k]), rtol=1e-5)
