@@ -91,6 +91,9 @@ def parse_args(argv=None):
     # io / restart
     p.add_argument("--run_dir", type=str, default="runs/diffphore")
     p.add_argument("--restart_dir", type=str, default=None)
+    p.add_argument("--restart_lr", type=float, default=0.0,
+                   help="override the learning rate after a restart "
+                        "(reference parsing.py restart_lr; 0 = keep)")
     p.add_argument("--model_ckpt", type=str, default=checkpoints.LAST_MODEL)
     # model (ScoreModelConfig fields override defaults)
     p.add_argument("--ns", type=int, default=20)
@@ -291,12 +294,14 @@ def train_tank(args) -> None:
         if os.path.exists(ckpt):
             state = checkpoints.load_variables(state, ckpt)
             log_info(f"Restarted tank model from `{ckpt}`")
+            if args.restart_lr > 0:
+                state = set_learning_rate(state, tx, args.restart_lr)
 
     metrics_out = MetricsWriter(os.path.join(args.run_dir, "metrics.jsonl"))
     key = jax.random.PRNGKey(args.seed)
     best_val = np.inf
     plateau = 0
-    lr = args.lr
+    lr = args.restart_lr if (args.restart_dir and args.restart_lr > 0) else args.lr
     val_loader = (BucketLoader(val_ds, args.batch_size, shuffle=False)
                   if val_ds is not None and len(val_ds) else None)
 
@@ -380,12 +385,14 @@ def train_confidence(args) -> None:
         if os.path.exists(ckpt):
             state = checkpoints.load_variables(state, ckpt)
             log_info(f"Restarted confidence model from `{ckpt}`")
+            if args.restart_lr > 0:
+                state = set_learning_rate(state, tx, args.restart_lr)
 
     metrics_out = MetricsWriter(os.path.join(args.run_dir, "metrics.jsonl"))
     key = jax.random.PRNGKey(args.seed)
     best_val = np.inf
     plateau = 0
-    lr = args.lr
+    lr = args.restart_lr if (args.restart_dir and args.restart_lr > 0) else args.lr
     val_loader = (BucketLoader(val_ds, args.batch_size, shuffle=False)
                   if val_ds is not None and len(val_ds) else None)
     keys = ("loss", "loss_ph", "loss_ex", "loss_total")
@@ -497,6 +504,8 @@ def main(argv=None) -> None:
             state = checkpoints.load_variables(state, ckpt)
             start_epoch = int(state.step) // max(len(loader), 1)
             log_info(f"Restarted from `{ckpt}` at epoch {start_epoch}")
+            if args.restart_lr > 0:
+                state = set_learning_rate(state, tx, args.restart_lr)
 
     checkpoints.save_config_yaml(cfg, args.run_dir, extra={
         "n_epochs": args.n_epochs, "batch_size": args.batch_size, "lr": args.lr,
@@ -510,7 +519,7 @@ def main(argv=None) -> None:
     best_metric = -np.inf if args.inference_earlystop_goal == "max" else np.inf
     best_val_loss = np.inf
     plateau = 0
-    lr = args.lr
+    lr = args.restart_lr if (args.restart_dir and args.restart_lr > 0) else args.lr
     eval_jit = None
     val_loader = None
 
