@@ -37,8 +37,12 @@ def str2bool(v: str) -> bool:
 def parse_args(argv=None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description=__doc__)
     # input / output
+    p.add_argument("--config", type=str, default=None,
+                   help="YAML file overriding any flag")
     p.add_argument("--phore_ligand_csv", type=str, default=None,
                    help="CSV with columns `phore` and `ligand_description`")
+    p.add_argument("--split_file", type=str, default=None,
+                   help="text file of complex names to keep (one per line)")
     p.add_argument("--phore", type=str, default=None, help=".phore file or directory")
     p.add_argument("--ligand", type=str, default=None,
                    help="SMILES, molecule file, .smi list or directory")
@@ -68,7 +72,19 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--cutoff", type=float, default=None)
     p.add_argument("--min_similarity", type=float, default=-1.0)
     p.add_argument("--report_results", type=str2bool, default=True)
+    p.add_argument("--save_visualisation", type=str2bool, default=False,
+                   help="write the per-step denoising trajectory of the "
+                        "best pose as {name}_visualisation.sdf (reference "
+                        "keep_update/save_visualisation)")
     args = p.parse_args(argv)
+    if args.config:
+        import yaml
+
+        with open(args.config) as f:
+            overrides = yaml.safe_load(f) or {}
+        for k, v in overrides.items():
+            if hasattr(args, k):
+                setattr(args, k, v)
     if args.target_fishing:
         args.fitness = 5
     return args
@@ -189,6 +205,13 @@ def fit(args, engine: FitEngine, records: List[Dict], result_file: str) -> Dict:
             name=name, marker="rank",
             properties={"fitscore": [f"{result['fitscore'][i]:.6g}" for i in order]},
         )
+        if "trajectory" in result:
+            best = int(np.argmax(result["fitscore"]))
+            steps = [result["trajectory"][s][best] for s in
+                     range(result["trajectory"].shape[0])]
+            write_sdf(job.mol,
+                      os.path.join(proc_dir, f"{name}_visualisation.sdf"),
+                      multi_coords=steps, name=name, marker="step")
         json.dump({"name": name, "fitscore": result["fitscore"], "run_time": run_time},
                   open(log_file, "w"), indent=4)
         names.append(name)
@@ -300,6 +323,12 @@ def main(argv=None) -> None:
     result_file = os.path.join(args.out_dir, "inference_results.json")
 
     records = read_input(args.phore_ligand_csv, args.phore, args.ligand)
+    if args.split_file and os.path.exists(args.split_file):
+        keep = {l.strip() for l in open(args.split_file) if l.strip()}
+        records = [r for r in records
+                   if complex_name(r) in keep
+                   or os.path.basename(str(r["ligand_description"])).split(".")[0] in keep]
+        log_info(f"split_file: kept {len(records)} records")
     log_info(f"Number of fitting samples: {len(records)}")
     if not records:
         log_error("No valid fitting samples, please check your input.")
@@ -314,7 +343,8 @@ def main(argv=None) -> None:
             random_samples=args.random_samples,
         )
         engine = FitEngine(cfg, variables, args.sample_per_complex, settings,
-                           fitness=args.fitness, seed=args.seed)
+                           fitness=args.fitness, seed=args.seed,
+                           save_trajectory=args.save_visualisation)
         log_info(f"Process files: {os.path.join(args.out_dir, 'mapping_process/')}")
         log_info(f"Ranked poses:  {os.path.join(args.out_dir, 'ranked_poses/')}")
         results = fit(args, engine, records, result_file)

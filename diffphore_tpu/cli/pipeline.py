@@ -59,6 +59,7 @@ class FitEngine:
         fitness: int = 1,
         seed: int = 0,
         use_running_average: bool = True,
+        save_trajectory: bool = False,
     ):
         self.cfg = cfg
         self.variables = variables
@@ -68,6 +69,9 @@ class FitEngine:
         self.model = ScoreModel(cfg)
         self.key = jax.random.PRNGKey(seed)
         self.use_running_average = use_running_average
+        #: also return the per-step pose trajectory (reference
+        #: --save_visualisation / keep_update, inference.py + sampling.py)
+        self.save_trajectory = save_trajectory
         self.timers = PhaseTimers()
         self._compiled: Dict[Tuple[int, int, int], callable] = {}
 
@@ -151,6 +155,7 @@ class FitEngine:
 
         settings, cfg, model = self.settings, self.cfg, self.model
         ura = self.use_running_average
+        save_traj = self.save_trajectory
 
         @jax.jit
         def run(variables, batch, ref: PhoreArrays, key):
@@ -167,12 +172,14 @@ class FitEngine:
 
             k1, k2 = jax.random.split(key)
             b = randomize_position(batch, k1, settings.no_torsion, False, cfg.tr_sigma_max)
-            b = reverse_diffusion(score_fn, b, k2, cfg.sigma_schedule, settings,
-                                  fitness_fn=fitness_fn)
+            out = reverse_diffusion(score_fn, b, k2, cfg.sigma_schedule, settings,
+                                    return_trajectory=save_traj,
+                                    fitness_fn=fitness_fn)
+            b, traj = out if save_traj else (out, None)
             scores = fitscore(
                 b.lig_pos, b.lig_mask[0], b.lig_phorefp[0], vdw, ref
             )
-            return b.lig_pos, scores
+            return b.lig_pos, scores, traj
 
         self._compiled[shapes] = run
         return run
@@ -186,15 +193,19 @@ class FitEngine:
         with self.timers.phase("compile" if first else "denoise"):
             run = self._compile(shapes)
             self.key, sub = jax.random.split(self.key)
-            pos, scores = run(self.variables, batch, job.ref, sub)
+            pos, scores, traj = run(self.variables, batch, job.ref, sub)
             pos = np.asarray(jax.block_until_ready(pos))
         n_atoms = job.mol.num_atoms
         center = np.asarray(job.batch.orig_center[0])
         poses = pos[:, :n_atoms, :] + center
         fit = np.asarray(fitness_by_index(scores, self.fitness))
-        return {
+        result = {
             "name": job.name,
             "poses": poses,
             "fitscore": [float(x) for x in fit],
             "scores": {k: np.asarray(v) for k, v in scores.items()},
         }
+        if traj is not None:
+            # (steps, B, A, 3) -> original frame, heavy atoms only
+            result["trajectory"] = np.asarray(traj)[:, :, :n_atoms, :] + center
+        return result

@@ -246,7 +246,7 @@ def _run_batch_inference(engine, batch):
     )
     run = engine._compile((b.num_atoms, b.num_phore, b.num_torsions))
     engine.key, sub = jax.random.split(engine.key)
-    pos, scores = run(engine.variables, b, ref, sub)
+    pos, scores, _ = run(engine.variables, b, ref, sub)
     pos = np.asarray(pos)
     center = np.asarray(batch.orig_center[0])
     return pos + center, np.asarray(scores["phscore1"]).tolist()
