@@ -70,3 +70,41 @@ def test_cli_resume_journal(cli_run):
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     r1 = json.load(open(out_dir / "inference_results.json"))
     assert "Alignment Summary" in proc2.stdout
+
+
+def test_cli_visualisation_config_splitfile(tmp_path):
+    """--config YAML override + --split_file filtering + --save_visualisation
+    trajectory SDF, in one run (regression: FitEngine's compiled run now
+    returns a trajectory slot consumed by two call sites)."""
+    out_dir = tmp_path / "out"
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    (model_dir / "model_parameters.yml").write_text(
+        "ns: 8\nnv: 4\nnum_conv_layers: 2\ndropout: 0.0\n"
+    )
+    (tmp_path / "cfg.yml").write_text("sample_per_complex: 2\ninference_steps: 3\n")
+    name = "sQC_Substrate__STK936575"
+    (tmp_path / "keep.txt").write_text(f"{name}\n")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+    cmd = [
+        sys.executable, "-m", "diffphore_tpu.cli.inference",
+        "--phore", SQC, "--ligand", LIG, "--out_dir", str(out_dir),
+        "--model_dir", str(model_dir), "--allow_random_init", "true",
+        "--config", str(tmp_path / "cfg.yml"),
+        "--split_file", str(tmp_path / "keep.txt"),
+        "--save_visualisation", "true",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ranked = (out_dir / "ranked_poses" / f"{name}_ranked.sdf").read_text()
+    assert ranked.count("$$$$") == 2  # sample_per_complex from --config
+    viz = (out_dir / "mapping_process" / name / f"{name}_visualisation.sdf").read_text()
+    assert viz.count("$$$$") == 3    # one model per inference step
+    assert f"{name}_step_0" in viz
+
+    # split_file that excludes everything -> clean no-samples exit
+    (tmp_path / "none.txt").write_text("nothing\n")
+    cmd2 = [c if c != str(tmp_path / "keep.txt") else str(tmp_path / "none.txt")
+            for c in cmd] + ["--out_dir", str(tmp_path / "out2")]
+    proc2 = subprocess.run(cmd2, capture_output=True, text=True, env=env, timeout=120)
+    assert "No valid fitting samples" in proc2.stdout + proc2.stderr
