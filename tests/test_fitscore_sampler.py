@@ -244,3 +244,23 @@ def test_score_matching_loss_per_graph():
     for k in ("tr_loss", "rot_loss", "tor_loss"):
         assert per[k].shape == (B,)
         assert np.allclose(float(per[k].mean()), float(scalar[k]), rtol=1e-5)
+
+
+def test_fitscore_max_combination(golden):
+    """combine='max' bounds each ref feature's overlap by its best ligand
+    match; scores stay finite and <= the sum-combined overlap."""
+    poses, num, phore = golden
+    mol = poses[0]
+    fp, _ = perceive_phore_types(mol)
+    coords = jnp.asarray(np.stack([p.coords for p in poses]), jnp.float32)
+    vdw = jnp.asarray([vdw_radius(a.atomic_num) for a in mol.atoms], jnp.float32)
+    ref = make_phore_arrays(phore)
+    args = (coords, jnp.ones(mol.num_atoms, bool), jnp.asarray(fp, jnp.float32), vdw, ref)
+    s_sum = fitscore(*args)
+    s_max = fitscore(*args, combine="max")
+    assert np.isfinite(np.asarray(s_max["phscore1"])).all()
+    assert (np.asarray(s_max["V_overlap"]) <= np.asarray(s_sum["V_overlap"]) + 1e-4).all()
+    # max-combining still ranks the golden poses well
+    rank = lambda x: np.argsort(np.argsort(x))
+    rc = np.corrcoef(rank(np.asarray(s_max["phscore1"])), rank(num[:, 10]))[0, 1]
+    assert rc > 0.6, rc
