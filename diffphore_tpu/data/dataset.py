@@ -161,7 +161,10 @@ def load_complex(path: str) -> ComplexBatch:
         name = meta.pop("name")
         if "__orig_pos" in z.files:
             meta["orig_pos"] = z["__orig_pos"]
-        kwargs = {k: z[k] for k in _array_fields()}
+        kwargs = {k: z[k] for k in _array_fields() if k in z.files}
+    # caches written before these fields existed get compatible defaults
+    kwargs.setdefault("valid", np.ones(1, bool))
+    kwargs.setdefault("lig_scorer_fp", kwargs["lig_phorefp"])
     return ComplexBatch(names=(name,), meta=(meta,), **kwargs)
 
 
@@ -173,6 +176,35 @@ def _worker(args):
         return None
     save_complex(batch, cache_file)
     return cache_file
+
+
+class Subset:
+    """Index view of a PhoreDataset (reference _Subset,
+    pdbbind_phore.py:1339-1363): used by the warmup_epochs/warmup_number
+    schedule to train the first epochs on fewer samples."""
+
+    def __init__(self, dataset: "PhoreDataset", indices: Sequence[int]):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.files = [dataset.files[i] for i in self.indices]
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, idx: int) -> ComplexBatch:
+        return self.dataset[self.indices[idx]]
+
+
+def warmup_subset(dataset, number: int, proportion: float, seed: int = 0):
+    """Random warmup subset: ``number`` samples when > 0, else
+    ``proportion`` of the dataset (reference warmup_number /
+    warmup_propotion flags, parsing.py:51-57)."""
+    n = min(number, len(dataset)) if number > 0 else max(
+        1, int(proportion * len(dataset)))
+    if n >= len(dataset):
+        return dataset
+    rng = np.random.default_rng(seed)
+    return Subset(dataset, rng.permutation(len(dataset))[:n])
 
 
 class PhoreDataset:

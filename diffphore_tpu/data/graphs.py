@@ -63,6 +63,11 @@ class ComplexBatch:
     # bookkeeping
     orig_center: Any       # (B, 3) f32 phore centroid in the input frame
     t: Any                 # (B,) f32 diffusion time (set by sampler/transform)
+    valid: Any = None      # (B,) bool; False = repeat-padded row (loss/metric weight 0)
+    # AncPhore-calibrated scoring fingerprint (chem.scoring_phore_fp); the
+    # model consumes lig_phorefp (reference-SMARTS semantics), the fitness
+    # scorer consumes this one
+    lig_scorer_fp: Any = None  # (B, A, 11) f32
     # host-only metadata (not traced)
     names: Sequence[str] = struct.field(pytree_node=False, default=())
     meta: Sequence[Dict] = struct.field(pytree_node=False, default=())
@@ -121,6 +126,9 @@ def build_complex(
 
     feats = featurize_atoms(mol)
     fp, norms, ang1, ang2, counts = ligand_phore_features(mol)
+    from ..chem.pharmacophore_rules import scoring_phore_fp
+
+    sfp_full = scoring_phore_fp(mol)
 
     lig_feat = np.zeros((A, 16), np.int32)
     lig_feat[:n_atoms] = feats
@@ -130,6 +138,8 @@ def build_complex(
     lig_mask[:n_atoms] = True
     lig_phorefp = np.zeros((A, NUM_PHORETYPE), np.float32)
     lig_phorefp[:n_atoms] = fp
+    lig_scorer_fp = np.zeros((A, NUM_PHORETYPE), np.float32)
+    lig_scorer_fp[:n_atoms] = sfp_full
     lig_norm = np.zeros((NUM_PHORETYPE, A, 3), np.float32)
     lig_norm[:, :n_atoms] = np.transpose(norms, (1, 0, 2))
     a1 = np.zeros((A, NUM_PHORETYPE), np.float32)
@@ -194,6 +204,7 @@ def build_complex(
         phore_x=b(phore_x), phore_pos=b(phore_pos), phore_norm=b(phore_norm),
         phore_mask=b(phore_mask), phoretype=b(phoretype), phore_edge_mask=b(pem),
         orig_center=b(center), t=np.zeros(1, np.float32),
+        valid=np.ones(1, bool), lig_scorer_fp=b(lig_scorer_fp),
         names=(name,), meta=(md,),
     )
 
@@ -247,6 +258,8 @@ def pad_to_bucket(
             "phore_edge_mask": ((0, 0), (0, p_pad - bb.num_phore), (0, p_pad - bb.num_phore)),
             "orig_center": None,
             "t": None,
+            "valid": None,
+            "lig_scorer_fp": ((0, 0), (0, a_pad - bb.num_atoms), (0, 0)),
         }
         kwargs = {}
         for f in dataclasses.fields(bb):

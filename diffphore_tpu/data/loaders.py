@@ -54,16 +54,22 @@ class BucketLoader:
                 self.rng.shuffle(order)
             for k in range(0, len(order), self.batch_size):
                 chunk = order[k:k + self.batch_size]
-                if len(chunk) < self.batch_size:
+                n_real = len(chunk)
+                if n_real < self.batch_size:
                     if self.drop_last:
                         continue
                     # repeat-pad so the compiled step sees one batch shape;
-                    # repeated rows are flagged invalid for metric averaging
-                    pad = [chunk[i % len(chunk)] for i in range(self.batch_size - len(chunk))]
+                    # repeated rows are flagged invalid for loss/metric weighting
+                    pad = [chunk[i % n_real] for i in range(self.batch_size - n_real)]
                     chunk = chunk + pad
-                plans.append(chunk)
+                plans.append((chunk, n_real))
         if self.shuffle:
             self.rng.shuffle(plans)
-        for chunk in plans:
+        for chunk, n_real in plans:
             batches = [self.dataset[i] for i in chunk]
-            yield concat_batches(batches)
+            batch = concat_batches(batches)
+            if n_real < len(chunk):
+                valid = np.zeros(len(chunk), bool)
+                valid[:n_real] = True
+                batch = batch.replace(valid=valid)
+            yield batch

@@ -54,8 +54,12 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 
-def shard_train_step(step_fn: Callable, mesh: Mesh) -> Callable:
+def shard_train_step(step_fn: Callable, mesh: Mesh, n_extra: int = 0) -> Callable:
     """jit the train step with (replicated state, sharded batch) placement.
+
+    ``n_extra`` replicated scalar arguments follow (state, batch, key) —
+    e.g. the reject probability or the CCSampler branch probability, which
+    are traced so their schedules never trigger recompiles.
 
     XLA turns the mean-loss gradient into an all-reduce over ICI; nothing in
     the step function mentions collectives.
@@ -65,9 +69,17 @@ def shard_train_step(step_fn: Callable, mesh: Mesh) -> Callable:
 
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data, repl),
+        in_shardings=(repl, data, repl) + (repl,) * n_extra,
         out_shardings=(repl, repl),
     )
+
+
+def shard_eval_step(step_fn: Callable, mesh: Mesh) -> Callable:
+    """jit the (variables, batch, key) -> per-graph-metrics eval step with the
+    batch sharded; per-graph outputs come back sharded along the same axis."""
+    repl = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(step_fn, in_shardings=(repl, data, repl), out_shardings=data)
 
 
 def shard_records(records, process_index: Optional[int] = None, process_count: Optional[int] = None):

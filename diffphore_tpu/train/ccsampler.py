@@ -162,6 +162,7 @@ def make_ccsampler_train_step(cfg, tx, ema_decay=0.999, tr_weight=0.33,
             metrics = score_matching_loss(
                 preds, targets, noised.t, batch.tor_mask, schedule,
                 tr_weight, rot_weight, tor_weight, cfg.no_torsion,
+                valid=batch.valid,
             )
             return metrics["loss"], (metrics, new_state["batch_stats"])
 

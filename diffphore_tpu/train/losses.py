@@ -36,13 +36,22 @@ def score_matching_loss(
     tor_weight: float = 0.33,
     no_torsion: bool = False,
     apply_mean: bool = True,
+    valid=None,
 ) -> Dict[str, jnp.ndarray]:
     """``apply_mean=False`` returns per-graph (B,) losses instead of scalars
     (the reference's apply_mean=False used by test_epoch's sigma-interval
-    bucketing, training.py:321,330-339)."""
+    bucketing, training.py:321,330-339).  ``valid`` is a (B,) weight mask:
+    repeat-padded rows from short final batches (data/loaders.py) contribute
+    zero to every reduction, so padding never biases loss or the plateau-LR
+    signal."""
     tr_pred, rot_pred, tor_pred = preds
     tr_sigma, rot_sigma, tor_sigma = schedule(t)
-    red = (lambda x: x.mean()) if apply_mean else (lambda x: x.mean(-1))
+    w = jnp.ones(t.shape, tr_pred.dtype) if valid is None else valid.astype(tr_pred.dtype)
+    if apply_mean:
+        # per-graph mean over the trailing axis, then validity-weighted mean
+        red = lambda x: (x.mean(-1) * w).sum() / jnp.maximum(w.sum(), 1.0)
+    else:
+        red = lambda x: x.mean(-1)
 
     tr_loss = red((tr_pred - targets.tr_score) ** 2 * tr_sigma[:, None] ** 2)
     tr_base = red((targets.tr_score**2) * tr_sigma[:, None] ** 2)
@@ -57,6 +66,9 @@ def score_matching_loss(
         tor_norm2 = torus.score_norm(targets.tor_sigma)[:, None]  # (B, 1)
         m = tor_mask.astype(tr_pred.dtype)
         if apply_mean:
+            # reference semantics: element-weighted over the concatenated
+            # torsion edges (training.py:128-140); invalid graphs zeroed
+            m = m * w[:, None]
             denom = jnp.maximum(m.sum(), 1.0)
             tor_loss = (((tor_pred - targets.tor_score) ** 2 / tor_norm2) * m).sum() / denom
             tor_base = (((targets.tor_score**2) / tor_norm2) * m).sum() / denom

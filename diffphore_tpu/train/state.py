@@ -50,6 +50,9 @@ def create_train_state(
     weight_decay: float = 0.0,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     model = ScoreModel(cfg)
+    # strip host metadata: numpy arrays inside the static names/meta fields
+    # break jit treedef equality checks
+    example_batch = example_batch.replace(names=(), meta=())
     variables = jax.jit(model.init)(jax.random.PRNGKey(seed), example_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -110,6 +113,7 @@ def make_train_step(
             metrics = score_matching_loss(
                 preds, targets, noised.t, batch.tor_mask, schedule,
                 tr_weight, rot_weight, tor_weight, cfg.no_torsion,
+                valid=batch.valid,
             )
             return metrics["loss"], (metrics, new_state["batch_stats"])
 
@@ -149,9 +153,10 @@ def make_eval_step(
     tor_weight: float = 0.33,
 ):
     """Validation loss step (reference test_epoch, training.py:288-367):
-    noise the clean batch, run the eval-mode forward, return PER-GRAPH loss
-    components plus t so the host can bucket by sigma interval
-    (test_sigma_intervals)."""
+    noise the clean batch, run the eval-mode forward (running batch-norm
+    averages, matching the reference's model.eval(), training.py:302), and
+    return PER-GRAPH loss components plus t/valid so the host can bucket by
+    sigma interval (test_sigma_intervals) and drop repeat-padded rows."""
     model = ScoreModel(cfg)
     schedule = cfg.sigma_schedule
 
@@ -159,8 +164,7 @@ def make_eval_step(
         noised, targets = apply_noise(batch, key, schedule,
                                       no_torsion=cfg.no_torsion)
         preds = model.apply(variables, noised, deterministic=True,
-                            use_running_average=False,
-                            mutable=["batch_stats"])[0]
+                            use_running_average=True)
         metrics = score_matching_loss(
             preds, targets, noised.t, batch.tor_mask, schedule,
             tr_weight, rot_weight, tor_weight, cfg.no_torsion,

@@ -22,3 +22,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# A pytest plugin (e.g. jaxtyping) may import jax before this conftest runs,
+# in which case JAX_PLATFORMS was already read from the old environment; the
+# config update below still works as long as no backend has been created.
+import sys  # noqa: E402
+
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,243 @@
+"""Mesh-sharded training/inference paths on the conftest 8-CPU virtual mesh.
+
+Capability replaced: the reference's PyG DataParallel multi-GPU scatter
+(/root/reference/src/utils/utils.py:171-172, inference.py:26).  Here the
+batch axis is sharded over a jax Mesh and XLA inserts the gradient psum;
+these tests pin (a) numeric parity of the sharded train step with the
+single-device step, (b) the reject/CCSampler step variants under sharding,
+(c) sharded eval + inference forwards, and (d) the repeat-padding validity
+mask: padded rows must not change the loss.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+import jax
+import jax.numpy as jnp
+
+from diffphore_tpu.chem import parse_sdf
+from diffphore_tpu.data.graphs import build_complex, concat_batches, repeat_batch
+from diffphore_tpu.data.phore import parse_phore
+from diffphore_tpu.models import ScoreModel, ScoreModelConfig
+from diffphore_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, replicated, shard_batch, shard_eval_step,
+    shard_records, shard_train_step,
+)
+from diffphore_tpu.train.losses import ScoreTargets, score_matching_loss
+from diffphore_tpu.train.state import (
+    create_train_state, make_eval_step, make_train_step,
+)
+
+SQC = "/root/reference/examples/phore/sQC_QFA_complex.phore"
+LIG = "/root/reference/examples/ligands/STK243239.sdf"
+
+CFG = ScoreModelConfig(ns=4, nv=2, num_conv_layers=2, dropout=0.0,
+                       compute_dtype="float32")
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= N_DEV, "conftest must force 8 CPU devices"
+    return make_mesh(jax.devices()[:N_DEV])
+
+
+@pytest.fixture(scope="module")
+def batch8():
+    mol = parse_sdf(LIG)[0].remove_hs()
+    phore = parse_phore(SQC)[0]
+    c = build_complex("t", mol, phore)
+    return repeat_batch(c, N_DEV).replace(names=(), meta=())
+
+
+@pytest.fixture(scope="module")
+def state_and_steps(batch8):
+    state, tx = create_train_state(CFG, batch8, seed=0, lr=1e-3)
+    step = make_train_step(CFG, tx)
+    reject_step = make_train_step(CFG, tx, reject=True)
+    return state, step, reject_step
+
+
+def test_shard_batch_placement(mesh, batch8):
+    sharded = shard_batch(batch8, mesh)
+    sh = sharded.lig_pos.sharding
+    assert sh.is_equivalent_to(batch_sharding(mesh), ndim=sharded.lig_pos.ndim)
+    # each device holds B/N rows
+    assert sharded.lig_pos.addressable_shards[0].data.shape[0] == N_DEV // N_DEV
+
+
+def test_sharded_step_matches_single_device(mesh, batch8, state_and_steps):
+    state, step, _ = state_and_steps
+    key = jax.random.PRNGKey(42)
+
+    single = jax.jit(step)
+    sharded = shard_train_step(step, mesh, n_extra=1)
+
+    s1, m1 = single(state, batch8, key, np.float32(0.0))
+    s2, m2 = sharded(state, shard_batch(batch8, mesh), key, np.float32(0.0))
+
+    assert np.isfinite(float(m1["loss"]))
+    for k in ("loss", "tr_loss", "rot_loss", "tor_loss"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-5)
+    # parameters agree to the Adam step scale: reduction-order float noise in
+    # near-zero gradients flips g/(|g|+eps) by up to +-lr, so exact equality
+    # is not meaningful; anything beyond ~2 lr means a real sharding bug
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.5e-3)
+    assert int(s2.step) == 1
+
+
+def test_sharded_eval_matches_single_device(mesh, batch8, state_and_steps):
+    """Deterministic forward parity (no optimizer noise amplification)."""
+    state, _, _ = state_and_steps
+    ev = make_eval_step(CFG)
+    key = jax.random.PRNGKey(7)
+    m1 = jax.jit(ev)(state.variables, batch8, key)
+    m2 = shard_eval_step(ev, mesh)(state.variables, shard_batch(batch8, mesh), key)
+    for k in ("loss", "tr_loss", "rot_loss", "tor_loss"):
+        np.testing.assert_allclose(np.asarray(m1[k]), np.asarray(m2[k]),
+                                   rtol=5e-5, atol=1e-6)
+
+
+def test_sharded_reject_path(mesh, batch8, state_and_steps):
+    """Regression: --reject passes a 4th scalar arg; the sharded step must
+    accept it (round-1 crash: 3-entry in_shardings vs 4 call args)."""
+    state, _, reject_step = state_and_steps
+    sharded = shard_train_step(reject_step, mesh, n_extra=1)
+    s, m = sharded(state, shard_batch(batch8, mesh), jax.random.PRNGKey(1),
+                   np.float32(0.3))
+    assert np.isfinite(float(m["loss"]))
+    assert int(s.step) == 1
+
+
+def test_sharded_ccsampler_step(mesh, batch8):
+    """The calibrated-sampler step must run under the mesh (round-1 weakness:
+    multi-device training silently fell to single-device once p_cc > 0)."""
+    from diffphore_tpu.train.ccsampler import make_ccsampler_train_step
+
+    state, tx = create_train_state(CFG, batch8, seed=0, lr=1e-3)
+    cc_step = make_ccsampler_train_step(CFG, tx)
+    sharded = shard_train_step(cc_step, mesh, n_extra=1)
+    s, m = sharded(state, shard_batch(batch8, mesh), jax.random.PRNGKey(2),
+                   np.float32(0.5))
+    assert np.isfinite(float(m["loss"]))
+    assert int(s.step) == 1
+
+
+def test_sharded_eval_step(mesh, batch8, state_and_steps):
+    state, _, _ = state_and_steps
+    ev = shard_eval_step(make_eval_step(CFG), mesh)
+    m = ev(state.variables, shard_batch(batch8, mesh), jax.random.PRNGKey(3))
+    assert m["loss"].shape == (N_DEV,)
+    assert bool(jnp.isfinite(m["loss"]).all())
+
+
+def test_sharded_inference_forward(mesh, batch8, state_and_steps):
+    """Screening-path smoke: the score-model forward over a pose batch
+    sharded across the mesh."""
+    state, _, _ = state_and_steps
+    model = ScoreModel(CFG)
+    repl, data = replicated(mesh), batch_sharding(mesh)
+
+    def fwd(variables, b):
+        return model.apply(variables, b, use_running_average=False,
+                           mutable=["batch_stats"])[0]
+
+    jfwd = jax.jit(fwd, in_shardings=(repl, data), out_shardings=data)
+    tr, rot, tor = jfwd(state.variables, shard_batch(batch8, mesh))
+    assert tr.shape == (N_DEV, 3)
+    assert tr.sharding.is_equivalent_to(data, ndim=2)
+    assert bool(jnp.isfinite(tr).all())
+
+
+def test_shard_records_stripes():
+    recs = list(range(10))
+    parts = [shard_records(recs, i, 4) for i in range(4)]
+    assert sorted(sum(parts, [])) == recs
+    assert parts[0] == [0, 4, 8]
+
+
+def test_padded_rows_do_not_change_loss():
+    """A repeat-padded row with valid=False must contribute nothing: the
+    masked 4-row loss equals the unpadded 3-row loss exactly."""
+    rng = np.random.default_rng(0)
+    B, T = 3, 5
+    preds3 = tuple(jnp.asarray(rng.normal(size=s), jnp.float32)
+                   for s in ((B, 3), (B, 3), (B, T)))
+    targets3 = ScoreTargets(
+        tr_score=jnp.asarray(rng.normal(size=(B, 3)), jnp.float32),
+        rot_score=jnp.asarray(rng.normal(size=(B, 3)), jnp.float32),
+        tor_score=jnp.asarray(rng.normal(size=(B, T)), jnp.float32),
+        tor_sigma=jnp.full((B,), 0.7, jnp.float32),
+    )
+    t3 = jnp.asarray([0.2, 0.5, 0.9], jnp.float32)
+    tor_mask3 = jnp.asarray(rng.integers(0, 2, (B, T)).astype(bool))
+    sched = CFG.sigma_schedule
+
+    def pad(x):  # repeat the last row, as the BucketLoader does
+        return jnp.concatenate([x, x[-1:]], axis=0)
+
+    preds4 = tuple(pad(p) for p in preds3)
+    targets4 = ScoreTargets(*[pad(x) for x in targets3])
+    valid4 = jnp.asarray([True, True, True, False])
+
+    m3 = score_matching_loss(preds3, targets3, t3, tor_mask3, sched)
+    m4 = score_matching_loss(preds4, targets4, pad(t3), pad(tor_mask3), sched,
+                             valid=valid4)
+    for k in ("loss", "tr_loss", "rot_loss", "tor_loss"):
+        np.testing.assert_allclose(float(m3[k]), float(m4[k]), rtol=1e-6)
+
+
+def test_bucket_loader_flags_padded_rows(tmp_path):
+    """Short final batches are repeat-padded and the pad rows carry
+    valid=False (data/loaders.py contract)."""
+    from diffphore_tpu.data.dataset import DatasetSettings, PhoreDataset
+    from diffphore_tpu.data.loaders import BucketLoader
+
+    ligs = ["STK243239", "STK255897", "STK324209"]
+    records = [{"name": n, "phore": SQC,
+                "ligand_description": f"/root/reference/examples/ligands/{n}.sdf"}
+               for n in ligs]
+    ds = PhoreDataset(records, DatasetSettings(), str(tmp_path), name="mesh_t")
+    assert len(ds) == 3
+    loader = BucketLoader(ds, batch_size=2, shuffle=False)
+    batches = list(loader)
+    n_valid = sum(int(np.asarray(b.valid).sum()) for b in batches)
+    n_rows = sum(b.batch_size for b in batches)
+    assert n_valid == 3
+    assert all(np.asarray(b.valid).dtype == bool for b in batches)
+    # a padded batch exists iff some bucket wasn't divisible by 2
+    assert n_rows >= 3
+
+
+def test_mesh_sharded_screen_batched_dispatch(mesh):
+    """Batched multi-complex screening over the mesh: two same-bucket
+    complexes packed into ONE device dispatch (poses x complexes rows),
+    sharded along the data axis (capability replaced: reference
+    DataParallel inference scatter, inference.py:26)."""
+    from diffphore_tpu.cli.pipeline import FitEngine
+    from diffphore_tpu.sampler.sampling import SamplerSettings
+
+    cfg = ScoreModelConfig(ns=4, nv=2, num_conv_layers=2, dropout=0.0,
+                           no_batch_norm=True, compute_dtype="float32")
+    model = ScoreModel(cfg)
+    engine = FitEngine(cfg, None, samples_per_complex=8,
+                       settings=SamplerSettings(inference_steps=2),
+                       seed=0, mesh=mesh)
+    jobs = [engine.prepare(f"sQC__lig{i}", LIG, SQC) for i in range(2)]
+    assert all(j is not None for j in jobs)
+    engine.variables = model.init(jax.random.PRNGKey(0), jobs[0].batch)
+
+    results = engine.run_complexes(jobs)
+    assert [r["name"] for r in results] == ["sQC__lig0", "sQC__lig1"]
+    # one compile, one dispatch: both complexes share the bucket
+    assert len(engine._compiled) == 1
+    for r in results:
+        assert np.asarray(r["poses"]).shape[0] == 8
+        assert np.isfinite(r["fitscore"]).all()
+    # single-complex path goes through the same batched machinery
+    solo = engine.run_complex(jobs[0])
+    assert len(solo["fitscore"]) == 8
