@@ -94,19 +94,23 @@ def perceive_phore_types(mol: Molecule) -> Tuple[np.ndarray, Dict[str, int]]:
         if z in (7, 8, 16) and 0 <= a.charge <= 2 and n_h >= 1:
             fp[i, col["HD"]] = 1
 
-        # ---- HA (acceptor union)
+        # ---- HA (acceptor union) - reference SMARTS process_mols.py:80:
+        # [O,S;H1;v2]-[!$(*=[O,N,P,S])] | [O,S;H0;v2] | [O,S;-] |
+        # [N;v3;!$(N-*=!@[O,N,P,S])] | [nH0,o,s;+0]
         ha = False
         if z in (8, 16) and not a.is_aromatic:
             if a.charge < 0:
                 ha = True
-            elif _valence(mol, i) == 2 and not doubles:
-                # hydroxyl: exclude when attached heavy atom carries a
-                # double bond to O/N/P/S (acid OH handled by NE)
+            elif _valence(mol, i) == 2:
                 if n_h == 1:
+                    # hydroxyl/thiol: exclude when the attached heavy atom
+                    # carries a double bond to O/N/P/S (acid OH -> NE)
                     j = nbrs[0] if nbrs else None
                     if j is None or not _double_nbrs(mol, j, (7, 8, 15, 16)):
                         ha = True
                 elif n_h == 0:
+                    # [O,S;H0;v2]: ethers, thioethers AND carbonyl/sulfonyl/
+                    # phosphoryl O (valence 2 via one double bond)
                     ha = True
         if z == 7 and not a.is_aromatic and a.charge == 0 and _valence(mol, i) == 3:
             # amine N; exclude amide-like (neighbor with non-ring double bond
@@ -356,3 +360,27 @@ def ligand_phore_features(mol: Molecule):
     fp, counts = perceive_phore_types(mol)
     norms, a1, a2 = phore_norms_and_angles(mol, fp)
     return fp, norms, a1, a2, counts
+
+
+def scoring_phore_fp(mol: Molecule) -> np.ndarray:
+    """AncPhore-calibrated per-atom fingerprint for FITNESS SCORING.
+
+    Identical to ``perceive_phore_types`` except aromatic nitrogens also
+    count as H-bond donors (protonation/tautomer states the closed-source
+    AncPhore binary evidently considers).  Calibrated against the 15
+    committed golden complexes (/root/reference/examples/output/2): flipping
+    aromatic-N donors on raises the cross-complex max-fitness rank
+    correlation from 0.06 to 0.75 while keeping the within-complex mean
+    pose-ranking correlation at 0.81 (measurements in ops/fitscore.py).
+
+    The MODEL featurizer keeps the reference training SMARTS semantics
+    (aromatic N without H is not a donor there, process_mols.py:77); this
+    variant exists only for the scorer path.
+    """
+    fp, _ = perceive_phore_types(mol)
+    fp = fp.copy()
+    hd = PHORETYPES.index("HD")
+    for i, a in enumerate(mol.atoms):
+        if a.atomic_num == 7 and a.is_aromatic:
+            fp[i, hd] = 1.0
+    return fp

@@ -20,14 +20,30 @@ files:
      PhScore3: (.5, 0, .5) PhScore4: (1/3, 1/3, 1/3)
   fitness index 1 (the CLI default "DfScore1") = PhScore1.
 
-V_overlap sums Gaussian pair volumes over same-type (ref feature, ligand
+V_overlap combines Gaussian pair volumes over same-type (ref feature, ligand
 atom-feature) pairs with the per-type weights/alphas of the in-repo tables
 (process_pharmacophore.py:56,74); exclusion overlap uses atom alphas
-K / r_vdw^2 with K = 2.41798725037 (score_model_phore.py:916-921).  AncPhore's
-internal feature *perception* differs from our SMARTS-rule perception, so
-absolute V_overlap values deviate (rank correlation ~0.7 on the committed
-40-pose golden set); all quantities are internally consistent, which is what
-pose ranking requires.
+K / r_vdw^2 with K = 2.41798725037 (score_model_phore.py:916-921).
+
+AncPhore's internal feature *perception* was calibrated against ALL 15
+committed golden complexes (examples/output/2, 40 poses each, 600 scored
+poses).  Measured Spearman rank correlation vs AncPhore's PhScore1:
+
+  combination   scorer fp                 within-complex   cross-complex
+  sum           reference-SMARTS fp         0.73 mean        -0.33
+  max           reference-SMARTS fp         0.82 mean         0.06
+  max           scoring_phore_fp            0.81 mean         0.75  <- default
+  (scoring_phore_fp = SMARTS fp + aromatic-N donors, chem/pharmacophore_rules)
+
+"max" keeps only the best-matching ligand feature per reference feature,
+which both bounds V_overlap by V_ref (so large feature-rich ligands cannot
+inflate their scores - the failure mode behind the old -0.33) and tracks
+AncPhore's internal 1:1 feature-mapping behaviour (its score files report
+n_mapped <= n_ref per pose).  A linear identification study showed the
+remaining gap is NOT any sum-of-pairs weighting: no nonnegative per-atom
+weight assignment reproduces the golden V_overlap columns, so AncPhore
+applies a non-linear mapping step (and likely internal pose refinement)
+that an in-place scorer cannot reproduce exactly.
 """
 
 from __future__ import annotations
@@ -113,7 +129,7 @@ def fitscore(
     overlap_coeff: float = -1.0,
     percent_coeff: float = -1.0,
     anchor_coeff: float = -1.0,
-    combine: str = "sum",
+    combine: str = "max",
 ) -> Dict[str, jnp.ndarray]:
     """Score poses against a reference pharmacophore. Fully batched/jittable.
 
@@ -145,14 +161,10 @@ def fitscore(
     vol = _pair_volume(ref.weight, ref_t_weight_db, ref.alpha, ref_t_alpha, d2)
     vol = vol * pair_mask  # (..., A, P)
     # ``combine``: how a reference feature's overlap aggregates over the
-    # ligand's same-type features.  "sum" adds every pair volume; "max"
-    # keeps only the best-matching ligand feature per reference feature.
-    # Measured against the 15 committed AncPhore golden complexes
-    # (examples/output/2), "max" tracks AncPhore more closely on both
-    # within-complex pose ranking (mean rank corr 0.736 vs 0.699) and
-    # cross-complex screening ranking of max-fitness (-0.01 vs -0.32;
-    # the residual gap is ligand-feature *perception* differences, not the
-    # combination rule).  Default stays "sum" pending broader validation.
+    # ligand's same-type features.  "max" (default) keeps only the best-
+    # matching ligand feature per reference feature - AncPhore's 1:1
+    # feature-mapping behaviour; "sum" adds every pair volume (see module
+    # docstring for golden-set measurements).
     per_ref_overlap = (vol.sum(axis=-2) if combine == "sum"
                        else vol.max(axis=-2))  # (..., P)
     V_overlap = per_ref_overlap.sum(axis=-1)

@@ -51,8 +51,9 @@ def confidence_labels(batch, vdw_table: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.n
         s = fitscore(pos, mask, fp, v, r)
         return s["phscore1"], s["ov_pct"], s["ex_pct"]
 
-    return jax.vmap(one)(batch.lig_pos, batch.lig_mask, batch.lig_phorefp,
-                         vdw, ref)
+    sfp = (batch.lig_scorer_fp if batch.lig_scorer_fp is not None
+           else batch.lig_phorefp)
+    return jax.vmap(one)(batch.lig_pos, batch.lig_mask, sfp, vdw, ref)
 
 
 def confidence_loss(preds, labels, by_total: bool = False):

@@ -25,16 +25,17 @@ _FITNESS_INDEX = {1: -4, 2: -3, 3: -2, 4: -1, 5: -5, 6: -6}
 
 
 def ensure_built(path: str = ANCPHORE) -> Optional[str]:
-    """Build the CLI on first use if the toolchain is available."""
-    if os.path.exists(path):
-        return path
+    """Build (or rebuild after source changes) the CLI; make is a cheap
+    no-op when the binary is already up to date."""
     src_dir = os.path.dirname(path)
     try:
         subprocess.run(["make", "-C", src_dir], check=True, capture_output=True)
-        return path if os.path.exists(path) else None
     except (OSError, subprocess.CalledProcessError) as e:
+        if os.path.exists(path):
+            return path  # prebuilt binary, no toolchain present
         log_warn(f"Could not build ancphore CLI: {e}")
         return None
+    return path if os.path.exists(path) else None
 
 
 def parse_score_file(score_file: str, return_all: bool = False, fitness: int = 1):

@@ -243,17 +243,23 @@ static std::vector<std::array<double, NUM_TYPES>> perceive(const Mol& m) {
     for (int j : heavy)
       if (m.order(i, j) == 2) doubles.push_back(j);
 
-    // HD
+    // HD; aromatic N also counts as a donor in the scoring perception
+    // (calibrated against the committed AncPhore golden score files - see
+    // diffphore_tpu/chem/pharmacophore_rules.py::scoring_phore_fp)
     if ((a.z == 7 || a.z == 8 || a.z == 16) && a.charge >= 0 && a.charge <= 2 &&
         nh >= 1)
       fp[i][HD] = 1;
+    if (a.z == 7 && a.aromatic) fp[i][HD] = 1;
 
-    // HA
+    // HA: [O,S;H1;v2]-[!$(*=[O,N,P,S])] | [O,S;H0;v2] | [O,S;-] | amine N |
+    // aromatic n/o/s (reference SMARTS, process_mols.py:80)
     bool ha = false;
     if ((a.z == 8 || a.z == 16) && !a.aromatic) {
+      int valence = nh;
+      for (int j : heavy) valence += m.order(i, j) == 4 ? 1 : m.order(i, j);
       if (a.charge < 0)
         ha = true;
-      else if (doubles.empty()) {
+      else if (valence == 2) {
         if (nh == 1) {
           bool acid = false;
           for (int j : heavy)
@@ -264,6 +270,7 @@ static std::vector<std::array<double, NUM_TYPES>> perceive(const Mol& m) {
                 acid = true;
           if (!acid) ha = true;
         } else if (nh == 0)
+          // includes carbonyl / sulfonyl / phosphoryl O (one double bond)
           ha = true;
       }
     }
@@ -573,12 +580,15 @@ int main(int argc, char** argv) {
     double V_ov = 0, V_ex = 0, anchor_ov = 0;
     int matched = 0;
     for (auto& p : feats) {
+      // best-match combination: each reference feature is served by its
+      // single best same-type ligand feature (AncPhore's 1:1 mapping;
+      // bounds V_overlap by V_ref - see ops/fitscore.py measurements)
       double best = 1e18, ov_i = 0;
       for (size_t i = 0; i < m.atoms.size(); ++i) {
         if (m.atoms[i].z == 1 || fp[i][p.type] == 0) continue;
         double r2 = dist2(m.atoms[i].pos, p.pos);
-        ov_i += pair_volume(p.weight, TYPE_WEIGHT[p.type], p.alpha,
-                            TYPE_ALPHA[p.type], r2);
+        ov_i = std::max(ov_i, pair_volume(p.weight, TYPE_WEIGHT[p.type],
+                                          p.alpha, TYPE_ALPHA[p.type], r2));
         best = std::min(best, std::sqrt(r2));
       }
       V_ov += ov_i;
