@@ -76,6 +76,21 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="write the per-step denoising trajectory of the "
                         "best pose as {name}_visualisation.sdf (reference "
                         "keep_update/save_visualisation)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace (open with "
+                        "TensorBoard/XProf) covering the sampling run")
+    p.add_argument("--batch_complexes", type=int, default=1,
+                   help="pack this many same-bucket complexes into one "
+                        "device dispatch (poses x complexes as batch rows)")
+    p.add_argument("--use_mesh", type=str2bool, default=True,
+                   help="shard pose batches over all visible devices "
+                        "(data axis); single-device runs are unaffected")
+    p.add_argument("--num_processes", type=int, default=0,
+                   help="multi-host screening: total process count; 0 = "
+                        "use jax.process_count()")
+    p.add_argument("--process_rank", type=int, default=-1,
+                   help="multi-host screening: this process's stripe; -1 = "
+                        "use jax.process_index()")
     args = p.parse_args(argv)
     if args.config:
         import yaml
@@ -148,13 +163,73 @@ def write_score_file(path: str, name: str, ref_id: str, scores: Dict) -> None:
             f.write("\t".join(row) + "\n")
 
 
-def fit(args, engine: FitEngine, records: List[Dict], result_file: str) -> Dict:
-    """Per-complex sampling loop with per-complex resume journal."""
+def _write_complex_outputs(args, job, result, run_time: float) -> None:
     from ..chem.sdf import write_sdf
 
+    name = result["name"]
+    proc_dir = os.path.join(args.out_dir, "mapping_process", name)
+    docked_file = os.path.join(args.out_dir, "ranked_poses", f"{name}_ranked.sdf")
+    log_file = os.path.join(proc_dir, f"{name}_dock.log")
+    os.makedirs(proc_dir, exist_ok=True)
+    write_sdf(job.mol, os.path.join(proc_dir, f"{name}.sdf"),
+              multi_coords=list(result["poses"]), name=name, marker="")
+    ref_id = name.split("__")[0]
+    write_score_file(os.path.join(proc_dir, f"{name}.score"), name, ref_id,
+                     result["scores"])
+    order = np.argsort(result["fitscore"])[::-1]
+    write_sdf(
+        job.mol, docked_file, multi_coords=[result["poses"][i] for i in order],
+        name=name, marker="rank",
+        properties={"fitscore": [f"{result['fitscore'][i]:.6g}" for i in order]},
+    )
+    if "trajectory" in result:
+        best = int(np.argmax(result["fitscore"]))
+        steps = [result["trajectory"][s][best] for s in
+                 range(result["trajectory"].shape[0])]
+        write_sdf(job.mol,
+                  os.path.join(proc_dir, f"{name}_visualisation.sdf"),
+                  multi_coords=steps, name=name, marker="step")
+    json.dump({"name": name, "fitscore": result["fitscore"], "run_time": run_time},
+              open(log_file, "w"), indent=4)
+
+
+def fit(args, engine: FitEngine, records: List[Dict], result_file: str) -> Dict:
+    """Screening loop with per-complex resume journal.
+
+    ``--batch_complexes`` > 1 packs several same-bucket complexes into one
+    device dispatch (poses x complexes as rows) - the throughput analogue of
+    the reference's DataParallel scatter (inference.py:26)."""
     names, fitscores, run_times = [], [], []
     os.makedirs(os.path.join(args.out_dir, "ranked_poses"), exist_ok=True)
-    for idx, record in enumerate(records):
+    dispatch = max(1, getattr(args, "batch_complexes", 1))
+    pending: List = []
+    done = [0]
+
+    def flush():
+        if not pending:
+            return
+        t0 = time.time()
+        try:
+            results = engine.run_complexes([j for j, _ in pending])
+        except Exception as e:  # noqa: BLE001
+            log_error(f"Sampling failed for dispatch of {len(pending)}: {e}")
+            pending.clear()
+            return
+        per = (time.time() - t0) / len(pending)
+        for (job, t_feat), result in zip(pending, results):
+            run_time = t_feat + per
+            _write_complex_outputs(args, job, result, run_time)
+            names.append(result["name"])
+            fitscores.append(result["fitscore"])
+            run_times.append(run_time)
+            done[0] += 1
+            log_info(f"[{done[0]}/{len(records)}] {result['name']}: max fitscore "
+                     f"{max(result['fitscore']):.4f} in {run_time:.2f}s")
+        pending.clear()
+        json.dump({"name": names, "fitscore": fitscores, "run_time": run_times},
+                  open(result_file + ".tmp", "w"), indent=4)
+
+    for record in records:
         try:
             name = complex_name(record)
         except Exception as e:  # noqa: BLE001
@@ -169,6 +244,7 @@ def fit(args, engine: FitEngine, records: List[Dict], result_file: str) -> Dict:
             names.append(log["name"])
             fitscores.append(log["fitscore"])
             run_times.append(log["run_time"])
+            done[0] += 1
             continue
 
         t0 = time.time()
@@ -186,41 +262,10 @@ def fit(args, engine: FitEngine, records: List[Dict], result_file: str) -> Dict:
                 log_info(f"`{name}` excluded by fingerprint similarity "
                          f"({sim:.2f} < {args.min_similarity:.2f})")
                 continue
-        try:
-            result = engine.run_complex(job)
-        except Exception as e:  # noqa: BLE001
-            log_error(f"Sampling failed for `{name}`: {e}")
-            continue
-        run_time = time.time() - t0
-
-        os.makedirs(proc_dir, exist_ok=True)
-        write_sdf(job.mol, os.path.join(proc_dir, f"{name}.sdf"),
-                  multi_coords=list(result["poses"]), name=name, marker="")
-        ref_id = name.split("__")[0]
-        write_score_file(os.path.join(proc_dir, f"{name}.score"), name, ref_id,
-                         result["scores"])
-        order = np.argsort(result["fitscore"])[::-1]
-        write_sdf(
-            job.mol, docked_file, multi_coords=[result["poses"][i] for i in order],
-            name=name, marker="rank",
-            properties={"fitscore": [f"{result['fitscore'][i]:.6g}" for i in order]},
-        )
-        if "trajectory" in result:
-            best = int(np.argmax(result["fitscore"]))
-            steps = [result["trajectory"][s][best] for s in
-                     range(result["trajectory"].shape[0])]
-            write_sdf(job.mol,
-                      os.path.join(proc_dir, f"{name}_visualisation.sdf"),
-                      multi_coords=steps, name=name, marker="step")
-        json.dump({"name": name, "fitscore": result["fitscore"], "run_time": run_time},
-                  open(log_file, "w"), indent=4)
-        names.append(name)
-        fitscores.append(result["fitscore"])
-        run_times.append(run_time)
-        json.dump({"name": names, "fitscore": fitscores, "run_time": run_times},
-                  open(result_file + ".tmp", "w"), indent=4)
-        log_info(f"[{idx + 1}/{len(records)}] {name}: max fitscore "
-                 f"{max(result['fitscore']):.4f} in {run_time:.2f}s")
+        pending.append((job, time.time() - t0))
+        if len(pending) >= dispatch:
+            flush()
+    flush()
     return {"name": names, "fitscore": fitscores, "run_time": run_times}
 
 
@@ -329,6 +374,21 @@ def main(argv=None) -> None:
                    if complex_name(r) in keep
                    or os.path.basename(str(r["ligand_description"])).split(".")[0] in keep]
         log_info(f"split_file: kept {len(records)} records")
+    # multi-host screening: statically stripe the work list per process
+    # (reference scales with DataParallel inside one host, inference.py:26;
+    # across hosts the screen is embarrassingly parallel)
+    from ..parallel.mesh import shard_records
+
+    import jax
+
+    n_proc = args.num_processes or jax.process_count()
+    rank = args.process_rank if args.process_rank >= 0 else jax.process_index()
+    if n_proc > 1:
+        records = shard_records(records, rank, n_proc)
+        result_file = os.path.join(args.out_dir,
+                                   f"inference_results.rank{rank}.json")
+        log_info(f"process {rank}/{n_proc}: {len(records)} records in stripe")
+
     log_info(f"Number of fitting samples: {len(records)}")
     if not records:
         log_error("No valid fitting samples, please check your input.")
@@ -342,12 +402,35 @@ def main(argv=None) -> None:
             ode=args.ode, no_torsion=args.no_torsion,
             random_samples=args.random_samples,
         )
+        mesh = None
+        if args.use_mesh and len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+
+            rows = args.sample_per_complex * max(args.batch_complexes, 1)
+            if rows % len(jax.devices()) == 0:
+                mesh = make_mesh()
+                log_info(f"Sharding pose batches over {len(jax.devices())} "
+                         f"devices (data axis)")
+            else:
+                log_warn(f"sample_per_complex x batch_complexes = {rows} "
+                         f"not divisible by {len(jax.devices())} devices; "
+                         f"running single-device")
         engine = FitEngine(cfg, variables, args.sample_per_complex, settings,
                            fitness=args.fitness, seed=args.seed,
-                           save_trajectory=args.save_visualisation)
+                           save_trajectory=args.save_visualisation,
+                           mesh=mesh)
         log_info(f"Process files: {os.path.join(args.out_dir, 'mapping_process/')}")
         log_info(f"Ranked poses:  {os.path.join(args.out_dir, 'ranked_poses/')}")
+        if args.profile_dir:
+            import jax
+
+            jax.profiler.start_trace(args.profile_dir)
         results = fit(args, engine, records, result_file)
+        if args.profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            log_info(f"jax.profiler trace written to {args.profile_dir}")
         if os.path.exists(result_file + ".tmp"):
             shutil.move(result_file + ".tmp", result_file)
         else:
@@ -355,6 +438,20 @@ def main(argv=None) -> None:
         log_info(f"Phase timings: {engine.timers.report()}")
     else:
         results = json.load(open(result_file))
+    # multi-host gather: merge every rank's journal into one ranked table
+    # (the DCN is crossed only here, by file IO - mesh.py docstring)
+    import glob as _glob
+
+    for rf in sorted(_glob.glob(os.path.join(args.out_dir,
+                                             "inference_results.rank*.json"))):
+        if os.path.abspath(rf) == os.path.abspath(result_file):
+            continue
+        try:
+            other = json.load(open(rf))
+            for k in ("name", "fitscore", "run_time"):
+                results[k] = list(results.get(k, [])) + list(other.get(k, []))
+        except (OSError, ValueError) as e:
+            log_warn(f"Could not merge rank journal {rf}: {e}")
     if results and results.get("name"):
         analyze_results(args, results)
 

@@ -23,7 +23,7 @@ import numpy as np
 from ..chem import mol_from_smiles, parse_sdf
 from ..chem.mol import Molecule, vdw_radius
 from ..chem.sdf import read_molecule
-from ..data.graphs import ComplexBatch, build_complex, repeat_batch
+from ..data.graphs import ComplexBatch, build_complex, concat_batches, repeat_batch
 from ..data.phore import Phore, parse_phore
 from ..models import ScoreModel, ScoreModelConfig
 from ..ops.fitscore import PhoreArrays, fitness_by_index, fitscore, make_phore_arrays
@@ -60,12 +60,16 @@ class FitEngine:
         seed: int = 0,
         use_running_average: bool = True,
         save_trajectory: bool = False,
+        mesh=None,
     ):
         self.cfg = cfg
         self.variables = variables
         self.n = samples_per_complex
         self.settings = settings or SamplerSettings()
         self.fitness = fitness
+        #: optional jax Mesh: batches (poses x complexes rows) are sharded
+        #: along the data axis; None = single-device placement
+        self.mesh = mesh
         self.model = ScoreModel(cfg)
         self.key = jax.random.PRNGKey(seed)
         self.use_running_average = use_running_average
@@ -149,25 +153,41 @@ class FitEngine:
         self.variables = jax.tree_util.tree_map(lambda x: x, variables)
         log_info("Batch-stats calibration done (random-init mode)")
 
-    def _compile(self, shapes: Tuple[int, int, int]):
+    def compile_bucket(self, shapes: Tuple[int, int, int]):
+        """Public stable API: the jitted (variables, batch, ref, key) ->
+        (positions, score dict, trajectory|None) sampler for one
+        (A, P, T) shape bucket.  Cached per bucket.
+
+        ``ref`` is row-batched (leading axis == batch rows): rows of one
+        complex repeat its PhoreArrays, and a multi-complex dispatch packs
+        poses x complexes as rows of one device batch (the reference scales
+        this with DataParallel scatter, inference.py:26; here it is one
+        batch, optionally sharded over the mesh).
+        """
         if shapes in self._compiled:
             return self._compiled[shapes]
 
         settings, cfg, model = self.settings, self.cfg, self.model
         ura = self.use_running_average
         save_traj = self.save_trajectory
+        score_rows = jax.vmap(
+            lambda pos, mask, fp, v, r: fitscore(pos, mask, fp, v, r)
+        )
 
-        @jax.jit
         def run(variables, batch, ref: PhoreArrays, key):
             def score_fn(b):
                 return model.apply(variables, b, use_running_average=ura)
 
-            vdw = jnp.asarray(VDW_TABLE)[batch.lig_feat[0, :, 0]]
+            vdw = jnp.asarray(VDW_TABLE)[batch.lig_feat[..., 0]]  # (B, A)
+            # the scorer consumes the AncPhore-calibrated fingerprint;
+            # lig_phorefp (model features) is the fallback for old caches
+            sfp = (batch.lig_scorer_fp if batch.lig_scorer_fp is not None
+                   else batch.lig_phorefp)
             fitness_fn = None
             if settings.random_samples > 1:
                 # per-step candidate selection by on-device fitness
-                fitness_fn = lambda b: fitscore(
-                    b.lig_pos, b.lig_mask[0], b.lig_phorefp[0], vdw, ref
+                fitness_fn = lambda b: score_rows(
+                    b.lig_pos, b.lig_mask, sfp, vdw, ref
                 )["phscore1"]
 
             k1, k2 = jax.random.split(key)
@@ -176,36 +196,80 @@ class FitEngine:
                                     return_trajectory=save_traj,
                                     fitness_fn=fitness_fn)
             b, traj = out if save_traj else (out, None)
-            scores = fitscore(
-                b.lig_pos, b.lig_mask[0], b.lig_phorefp[0], vdw, ref
-            )
+            scores = score_rows(b.lig_pos, b.lig_mask, sfp, vdw, ref)
             return b.lig_pos, scores, traj
 
-        self._compiled[shapes] = run
-        return run
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            repl, data = replicated(self.mesh), batch_sharding(self.mesh)
+            jrun = jax.jit(run, in_shardings=(repl, data, data, repl),
+                           out_shardings=None)
+        else:
+            jrun = jax.jit(run)
+        self._compiled[shapes] = jrun
+        return jrun
+
+    # backwards-compatible alias (was private; cli/train.py consumed it)
+    _compile = compile_bucket
+
+    @staticmethod
+    def _row_refs(jobs: List["ComplexJob"], n: int) -> PhoreArrays:
+        """Stack each job's PhoreArrays repeated over its n pose rows."""
+        return jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(
+                [np.repeat(np.asarray(x)[None], n, axis=0) for x in xs], axis=0
+            ),
+            *[j.ref for j in jobs],
+        )
+
+    def run_complexes(self, jobs: List["ComplexJob"]) -> List[Dict]:
+        """Sample + score a group of complexes in as few device dispatches
+        as possible: same-bucket complexes are packed into one batch with
+        poses x complexes as rows.  Returns one result dict per job, in
+        input order (same schema as run_complex)."""
+        by_shape: Dict[Tuple[int, int, int], List[int]] = {}
+        for i, job in enumerate(jobs):
+            b = job.batch
+            by_shape.setdefault(
+                (b.num_atoms, b.num_phore, b.num_torsions), []
+            ).append(i)
+        results: List[Optional[Dict]] = [None] * len(jobs)
+        for shapes, idxs in by_shape.items():
+            group = [jobs[i] for i in idxs]
+            batch = concat_batches([repeat_batch(j.batch, self.n) for j in group])
+            # host metadata must not reach jit (static treedef changes per
+            # complex would retrace every dispatch)
+            batch = batch.replace(names=(), meta=())
+            ref = self._row_refs(group, self.n)
+            first = shapes not in self._compiled
+            with self.timers.phase("compile" if first else "denoise"):
+                run = self.compile_bucket(shapes)
+                self.key, sub = jax.random.split(self.key)
+                pos, scores, traj = run(self.variables, batch, ref, sub)
+                pos = np.asarray(jax.block_until_ready(pos))
+            scores = {k: np.asarray(v) for k, v in scores.items()}
+            for g, i in enumerate(idxs):
+                job = group[g]
+                rows = slice(g * self.n, (g + 1) * self.n)
+                n_atoms = job.mol.num_atoms
+                center = np.asarray(job.batch.orig_center[0])
+                sc = {k: v[rows] for k, v in scores.items()}
+                fit = np.asarray(fitness_by_index(sc, self.fitness))
+                result = {
+                    "name": job.name,
+                    "poses": pos[rows, :n_atoms, :] + center,
+                    "fitscore": [float(x) for x in fit],
+                    "scores": sc,
+                }
+                if traj is not None:
+                    result["trajectory"] = (
+                        np.asarray(traj)[:, rows, :n_atoms, :] + center
+                    )
+                results[i] = result
+        return results
 
     def run_complex(self, job: ComplexJob) -> Dict:
         """Sample + score all poses of one complex.  Returns result dict with
         poses in the ORIGINAL (un-centered) frame."""
-        batch = repeat_batch(job.batch, self.n)
-        shapes = (batch.num_atoms, batch.num_phore, batch.num_torsions)
-        first = shapes not in self._compiled
-        with self.timers.phase("compile" if first else "denoise"):
-            run = self._compile(shapes)
-            self.key, sub = jax.random.split(self.key)
-            pos, scores, traj = run(self.variables, batch, job.ref, sub)
-            pos = np.asarray(jax.block_until_ready(pos))
-        n_atoms = job.mol.num_atoms
-        center = np.asarray(job.batch.orig_center[0])
-        poses = pos[:, :n_atoms, :] + center
-        fit = np.asarray(fitness_by_index(scores, self.fitness))
-        result = {
-            "name": job.name,
-            "poses": poses,
-            "fitscore": [float(x) for x in fit],
-            "scores": {k: np.asarray(v) for k, v in scores.items()},
-        }
-        if traj is not None:
-            # (steps, B, A, 3) -> original frame, heavy atoms only
-            result["trajectory"] = np.asarray(traj)[:, :, :n_atoms, :] + center
-        return result
+        return self.run_complexes([job])[0]
