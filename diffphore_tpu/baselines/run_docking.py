@@ -86,13 +86,99 @@ def docking_run(args) -> Dict:
     return {"results": results}
 
 
+def virtual_screening_run(args) -> Dict:
+    """Dock a ligand library against ONE receptor and rank by best (lowest)
+    affinity (reference virtual_screening_run, :90-144).  CSV columns:
+    ligand [, label]; receptor/center come from --receptor/--cx/--cy/--cz."""
+    import pandas as pd
+
+    if not args.receptor or not os.path.exists(args.receptor):
+        raise SystemExit("--task virtual_screening requires --receptor")
+    records = pd.read_csv(args.dataset_csv).to_dict("records")
+    rows = []
+    for rec in records:
+        name = str(rec.get("name") or os.path.basename(str(rec["ligand"])).split(".")[0])
+        out = os.path.join(args.out_dir, "vs", f"{name}_out.pdbqt")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        t0 = time.time()
+        if not run_docking(args.binary, args.receptor, str(rec["ligand"]), out,
+                           (args.cx, args.cy, args.cz),
+                           num_modes=args.num_modes,
+                           exhaustiveness=args.exhaustiveness):
+            continue
+        scores = parse_vina_scores(out)
+        if not scores:
+            continue
+        row = {"name": name, "best_affinity": min(scores),
+               "run_time": time.time() - t0}
+        if "label" in rec:
+            row["label"] = int(rec["label"])
+        rows.append(row)
+        log_info(f"{name}: best {row['best_affinity']}")
+    df = pd.DataFrame(rows).sort_values("best_affinity")  # lower = better
+    out_path = os.path.join(args.out_dir, "vs_ranked.csv")
+    df.to_csv(out_path, index=False)
+    summary = {"n": len(df), "ranked_csv": out_path}
+    if "label" in df.columns and len(df):
+        from .run_phore import _enrichment_factor, _roc_auc
+
+        summary["roc_auc"] = _roc_auc(df["label"], -df["best_affinity"])
+        summary["ef1pct"] = _enrichment_factor(df["label"], -df["best_affinity"])
+        log_info(f"VS: AUC={summary['roc_auc']:.4f} EF1%={summary['ef1pct']:.2f}")
+    json.dump(summary, open(os.path.join(args.out_dir, "vs_summary.json"), "w"), indent=2)
+    log_info(f"{len(df)} ligands ranked -> {out_path}")
+    return summary
+
+
+def target_fishing_run(args) -> Dict:
+    """Dock ONE query ligand against a receptor library and rank targets by
+    best affinity (reference target_fishing_run, :49-88).  CSV columns:
+    receptor, cx, cy, cz [, name]."""
+    import pandas as pd
+
+    if not args.ligand or not os.path.exists(args.ligand):
+        raise SystemExit("--task target_fishing requires --ligand")
+    records = pd.read_csv(args.dataset_csv).to_dict("records")
+    rows = []
+    for rec in records:
+        name = str(rec.get("name") or os.path.basename(str(rec["receptor"])).split(".")[0])
+        out = os.path.join(args.out_dir, "fishing", f"{name}_out.pdbqt")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        t0 = time.time()
+        center = (rec.get("cx", 0), rec.get("cy", 0), rec.get("cz", 0))
+        if not run_docking(args.binary, str(rec["receptor"]), args.ligand, out,
+                           center, num_modes=args.num_modes,
+                           exhaustiveness=args.exhaustiveness):
+            continue
+        scores = parse_vina_scores(out)
+        if not scores:
+            continue
+        rows.append({"target": name, "best_affinity": min(scores),
+                     "run_time": time.time() - t0})
+        log_info(f"{name}: best {rows[-1]['best_affinity']}")
+    df = pd.DataFrame(rows).sort_values("best_affinity")
+    out_path = os.path.join(args.out_dir, "fishing_ranked.csv")
+    df.to_csv(out_path, index=False)
+    log_info(f"{len(df)} targets ranked -> {out_path}")
+    return {"n": len(df), "ranked_csv": out_path}
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", choices=["docking", "virtual_screening", "target_fishing"],
                    default="docking")
     p.add_argument("--binary", type=str, default="vina")
     p.add_argument("--dataset_csv", type=str, required=True,
-                   help="CSV with receptor, ligand, cx, cy, cz columns")
+                   help="docking: receptor, ligand, cx, cy, cz columns; "
+                        "virtual_screening: ligand [, label]; "
+                        "target_fishing: receptor, cx, cy, cz [, name]")
+    p.add_argument("--receptor", type=str, default=None,
+                   help="virtual_screening: the one receptor pdbqt")
+    p.add_argument("--ligand", type=str, default=None,
+                   help="target_fishing: the one query ligand pdbqt")
+    p.add_argument("--cx", type=float, default=0.0)
+    p.add_argument("--cy", type=float, default=0.0)
+    p.add_argument("--cz", type=float, default=0.0)
     p.add_argument("--out_dir", type=str, default="results/docking_baseline")
     p.add_argument("--num_modes", type=int, default=9)
     p.add_argument("--exhaustiveness", type=int, default=8)
@@ -102,9 +188,12 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
-    # screening/fishing iterate the same docking loop over ligand/receptor
-    # libraries and rank by best affinity (reference :49-253)
-    docking_run(args)
+    if args.task == "virtual_screening":
+        virtual_screening_run(args)
+    elif args.task == "target_fishing":
+        target_fishing_run(args)
+    else:
+        docking_run(args)
 
 
 if __name__ == "__main__":

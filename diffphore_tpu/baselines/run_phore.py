@@ -156,13 +156,143 @@ def evaluate(args) -> Dict:
     return {"results": results}
 
 
+def _roc_auc(labels, scores) -> float:
+    """Rank-based ROC AUC (Mann-Whitney), no sklearn needed."""
+    import numpy as np
+
+    labels = np.asarray(labels, bool)
+    scores = np.asarray(scores, float)
+    n_pos, n_neg = int(labels.sum()), int((~labels).sum())
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(scores)
+    ranks = np.empty(len(scores))
+    ranks[order] = np.arange(1, len(scores) + 1)
+    return float((ranks[labels].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+def _enrichment_factor(labels, scores, frac: float = 0.01) -> float:
+    import numpy as np
+
+    labels = np.asarray(labels, bool)
+    scores = np.asarray(scores, float)
+    n = len(scores)
+    top = max(1, int(round(frac * n)))
+    sel = labels[np.argsort(scores)[::-1][:top]]
+    base = labels.mean()
+    return float(sel.mean() / base) if base > 0 else float("nan")
+
+
+def _best_align_score(args, lig_sdf: str, phore: str, name: str,
+                      fitness: int = 1) -> Optional[float]:
+    score_dir = os.path.join(args.out_dir, "scores")
+    os.makedirs(score_dir, exist_ok=True)
+    if args.tool == "ancphore":
+        scores = calc_phore_fitting(
+            lig_sdf, phore, os.path.join(score_dir, f"{name}.score"),
+            overwrite=True, fitness=fitness)
+        return max(scores) if scores else None
+    out = external_align(args.tool, args.binary or args.tool, lig_sdf, phore,
+                         os.path.join(args.out_dir, "scores"), name)
+    if out is None or not os.path.exists(out):
+        return None
+    try:  # pharao/pharmer tab files: last numeric column is the score
+        vals = [float(l.split("\t")[-1]) for l in open(out) if l.strip()]
+        return max(vals) if vals else None
+    except ValueError:
+        return None
+
+
+def screen_task(args) -> Dict:
+    """Virtual screening: rank a ligand library against ONE reference
+    pharmacophore by best alignment score; reports ROC AUC + EF1% when the
+    CSV carries a 0/1 ``label`` column (reference screening flow around
+    get_dude, run_phore.py:509-630)."""
+    import pandas as pd
+
+    if not args.phore or not os.path.exists(args.phore):
+        raise SystemExit("--task screen requires --phore <reference .phore>")
+    records = pd.read_csv(args.dataset_csv).to_dict("records")
+    rows = []
+    for rec in records:
+        name = os.path.basename(str(rec["ligand_description"])).split(".")[0]
+        t0 = time.time()
+        lig_sdf = os.path.join(args.out_dir, "conformers", f"{name}.sdf")
+        os.makedirs(os.path.dirname(lig_sdf), exist_ok=True)
+        if generate_conformation(str(rec["ligand_description"]), lig_sdf, args.seed) is None:
+            continue
+        best = _best_align_score(args, lig_sdf, args.phore, name)
+        if best is None:
+            continue
+        row = {"name": name, "best_score": best, "run_time": time.time() - t0}
+        if "label" in rec:
+            row["label"] = int(rec["label"])
+        rows.append(row)
+        log_info(f"{name}: best {best:.4f}")
+    df = pd.DataFrame(rows)
+    if len(df):
+        df = df.sort_values("best_score", ascending=False)
+    out_path = os.path.join(args.out_dir, f"{args.tool}_screen_ranked.csv")
+    df.to_csv(out_path, index=False)
+    summary = {"n": len(df), "ranked_csv": out_path}
+    if "label" in df.columns and len(df):
+        summary["roc_auc"] = _roc_auc(df["label"], df["best_score"])
+        summary["ef1pct"] = _enrichment_factor(df["label"], df["best_score"], 0.01)
+        log_info(f"screen: AUC={summary['roc_auc']:.4f} EF1%={summary['ef1pct']:.2f}")
+    json.dump(summary, open(os.path.join(args.out_dir, f"{args.tool}_screen_summary.json"), "w"), indent=2)
+    log_info(f"{len(df)} ligands ranked -> {out_path}")
+    return summary
+
+
+def fishing_task(args) -> Dict:
+    """Target fishing: rank a pharmacophore library against ONE query ligand
+    by the target-fishing score (fitness index 5; reference get_ifptarget
+    flow, run_phore.py:449-508)."""
+    import glob
+
+    import pandas as pd
+
+    if not args.ligand:
+        raise SystemExit("--task fishing requires --ligand <sdf|smiles>")
+    if not args.phore_dir or not os.path.isdir(args.phore_dir):
+        raise SystemExit("--task fishing requires --phore_dir <dir of .phore>")
+    lig_sdf = os.path.join(args.out_dir, "conformers", "query.sdf")
+    os.makedirs(os.path.dirname(lig_sdf), exist_ok=True)
+    if generate_conformation(args.ligand, lig_sdf, args.seed) is None:
+        raise SystemExit(f"could not prepare ligand {args.ligand}")
+    rows = []
+    for phore in sorted(glob.glob(os.path.join(args.phore_dir, "*.phore"))):
+        target = os.path.basename(phore).rsplit(".", 1)[0]
+        t0 = time.time()
+        best = _best_align_score(args, lig_sdf, phore, target, fitness=5)
+        if best is None:
+            continue
+        rows.append({"target": target, "best_score": best,
+                     "run_time": time.time() - t0})
+        log_info(f"{target}: {best:.4f}")
+    df = pd.DataFrame(rows)
+    if len(df):
+        df = df.sort_values("best_score", ascending=False)
+    out_path = os.path.join(args.out_dir, f"{args.tool}_fishing_ranked.csv")
+    df.to_csv(out_path, index=False)
+    log_info(f"{len(df)} targets ranked -> {out_path}")
+    return {"n": len(df), "ranked_csv": out_path}
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", choices=["align", "screen", "fishing"], default="align")
     p.add_argument("--tool", choices=["ancphore", "pharao", "pharmer"], default="ancphore")
     p.add_argument("--binary", type=str, default=None,
                    help="path to the external aligner binary (pharao/pharmer)")
-    p.add_argument("--dataset_csv", type=str, required=True)
+    p.add_argument("--dataset_csv", type=str, default=None,
+                   help="align/screen: CSV of ligand_description [, phore, label]")
+    p.add_argument("--phore", type=str, default=None,
+                   help="screen: the one reference .phore to screen against")
+    p.add_argument("--ligand", type=str, default=None,
+                   help="fishing: the query ligand (file or SMILES)")
+    p.add_argument("--phore_dir", type=str, default=None,
+                   help="fishing: directory of target .phore files")
     p.add_argument("--out_dir", type=str, default="results/phore_baseline")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -171,8 +301,14 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
-    # screen/fishing reuse the align loop over larger record lists; ranking
-    # happens on the collected best scores (reference :418-630)
+    if args.task == "screen":
+        screen_task(args)
+        return
+    if args.task == "fishing":
+        fishing_task(args)
+        return
+    if not args.dataset_csv:
+        raise SystemExit("--task align requires --dataset_csv")
     evaluate(args)
 
 
