@@ -38,6 +38,10 @@ from ..utils import checkpoints
 from ..utils.logging import MetricsWriter, log_info, log_warn
 
 
+def _str2bool(v) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     # data
@@ -56,6 +60,12 @@ def parse_args(argv=None):
     p.add_argument("--max_lig_size", type=int, default=0)
     p.add_argument("--min_phore_num", type=int, default=0)
     p.add_argument("--max_phore_num", type=int, default=0)
+    p.add_argument("--matching_popsize", type=int, default=20)
+    p.add_argument("--matching_maxiter", type=int, default=20)
+    p.add_argument("--consider_ex", type=_str2bool, default=True)
+    p.add_argument("--ex_connected", type=_str2bool, default=True)
+    p.add_argument("--neighbor_cutoff", type=float, default=5.0)
+    p.add_argument("--remove_hs", type=_str2bool, default=True)
     # optimization
     p.add_argument("--n_epochs", type=int, default=800)
     p.add_argument("--batch_size", type=int, default=10)
@@ -68,6 +78,14 @@ def parse_args(argv=None):
     p.add_argument("--rot_weight", type=float, default=0.33)
     p.add_argument("--tor_weight", type=float, default=0.33)
     p.add_argument("--seed", type=int, default=0)
+    # warmup: first epochs on a random sample subset (reference
+    # parsing.py:51-57; shipped recipe model_parameters.yml:147-154)
+    p.add_argument("--warmup_epochs", type=int, default=0,
+                   help="epochs to warm up training with fewer samples")
+    p.add_argument("--warmup_propotion", type=float, default=0.03)
+    p.add_argument("--warmup_number", type=int, default=20000)
+    p.add_argument("--valid_warmup_propotion", type=float, default=0.03)
+    p.add_argument("--valid_warmup_number", type=int, default=1000)
     # validation / early stop
     p.add_argument("--val_inference_freq", type=int, default=5)
     p.add_argument("--num_inference_complexes", type=int, default=100)
@@ -90,11 +108,18 @@ def parse_args(argv=None):
     p.add_argument("--delta_t", type=float, default=0.05)
     # io / restart
     p.add_argument("--run_dir", type=str, default="runs/diffphore")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the first training "
+                        "epoch (open with TensorBoard/XProf)")
     p.add_argument("--restart_dir", type=str, default=None)
     p.add_argument("--restart_lr", type=float, default=0.0,
                    help="override the learning rate after a restart "
                         "(reference parsing.py restart_lr; 0 = keep)")
     p.add_argument("--model_ckpt", type=str, default=checkpoints.LAST_MODEL)
+    p.add_argument("--ckpt_freq", type=int, default=1,
+                   help="save last_model every N epochs (device->host "
+                        "checkpoint pulls dominate short epochs on a "
+                        "remote-attached TPU); the final epoch always saves")
     # model (ScoreModelConfig fields override defaults)
     p.add_argument("--ns", type=int, default=20)
     p.add_argument("--nv", type=int, default=10)
@@ -111,6 +136,39 @@ def parse_args(argv=None):
     p.add_argument("--rot_sigma_max", type=float, default=1.5)
     p.add_argument("--tor_sigma_min", type=float, default=0.0314)
     p.add_argument("--tor_sigma_max", type=float, default=3.14)
+    p.add_argument("--embedding_type", type=str, default="sinusoidal",
+                   choices=["sinusoidal", "fourier"])
+    p.add_argument("--embedding_scale", type=float, default=10000)
+    # knowledge-guidance knobs (reference parsing.py; names = YAML keys =
+    # ScoreModelConfig fields, so the shipped recipe is expressible
+    # flag-for-flag)
+    p.add_argument("--consider_norm", type=_str2bool, default=True)
+    p.add_argument("--angle_match", type=_str2bool, default=True)
+    p.add_argument("--phoretype_match", type=_str2bool, default=True)
+    p.add_argument("--use_phore_match_feat", type=_str2bool, default=True)
+    p.add_argument("--cross_distance_transition", type=_str2bool, default=True)
+    p.add_argument("--phore_direction_transition", type=_str2bool, default=True)
+    p.add_argument("--phoretype_match_transition", type=_str2bool, default=True)
+    p.add_argument("--atom_weight", type=str, default="phore",
+                   choices=["phore", "atomwise", "sigmoid", "softmax"])
+    p.add_argument("--scaler", type=float, default=100.0)
+    p.add_argument("--multiple", type=_str2bool, default=True)
+    p.add_argument("--boarder", type=_str2bool, default=True)
+    p.add_argument("--by_radius", type=_str2bool, default=False)
+    p.add_argument("--clash_tolerance", type=float, default=0.4)
+    p.add_argument("--auto_phorefp", type=_str2bool, default=False)
+    p.add_argument("--use_att", type=_str2bool, default=False)
+    p.add_argument("--trioformer_layer", type=int, default=1)
+    p.add_argument("--use_second_order_repr", type=_str2bool, default=False)
+    p.add_argument("--scale_by_sigma", type=_str2bool, default=True)
+    p.add_argument("--max_radius", type=float, default=5.0)
+    p.add_argument("--cross_max_distance", type=float, default=25.0)
+    p.add_argument("--center_max_distance", type=float, default=30.0)
+    # TPU-native knobs
+    p.add_argument("--tp_mode", type=str, default="channelwise",
+                   choices=["channelwise", "fully_connected"])
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
 
     # TANKBind-style baseline mode (reference parsing.py:39 model_type;
     # loss/epoch loops utils/training.py:150-166,557-624)
@@ -158,6 +216,9 @@ def build_datasets(args):
         matching=args.matching, ligand_only=args.ligand_only,
         max_lig_size=args.max_lig_size, min_phore_num=args.min_phore_num,
         max_phore_num=args.max_phore_num, seed=args.seed,
+        popsize=args.matching_popsize, maxiter=args.matching_maxiter,
+        consider_ex=args.consider_ex, ex_connected=args.ex_connected,
+        neighbor_cutoff=args.neighbor_cutoff, remove_hs=args.remove_hs,
     )
     if args.train_csv:
         train_records = records_from_csv(args.train_csv)
@@ -183,7 +244,8 @@ def build_datasets(args):
     return train, val
 
 
-def val_inference(engine_cfg, variables, val_dataset, args) -> Dict[str, float]:
+def val_inference(engine_cfg, variables, val_dataset, args,
+                  max_complexes: Optional[int] = None) -> Dict[str, float]:
     """Run full reverse diffusion on validation complexes and compute the
     early-stop metric (reference inference_epoch, training.py:370-555)."""
     from ..cli.pipeline import FitEngine
@@ -196,7 +258,8 @@ def val_inference(engine_cfg, variables, val_dataset, args) -> Dict[str, float]:
         seed=args.seed,
     )
     rmsds, fits = [], []
-    n = min(len(val_dataset), args.num_inference_complexes)
+    n = min(len(val_dataset),
+            max_complexes if max_complexes else args.num_inference_complexes)
     for i in range(n):
         batch = val_dataset[i]
         meta = batch.meta[0]
@@ -244,9 +307,12 @@ def _run_batch_inference(engine, batch):
         is_ex=np.asarray(batch.phoretype[0, :, -1] == 1),
         mask=np.asarray(batch.phore_mask[0]),
     )
-    run = engine._compile((b.num_atoms, b.num_phore, b.num_torsions))
+    # compile_bucket consumes row-batched PhoreArrays (one row per pose)
+    ref = jax.tree_util.tree_map(
+        lambda x: np.repeat(np.asarray(x)[None], engine.n, axis=0), ref)
+    run = engine.compile_bucket((b.num_atoms, b.num_phore, b.num_torsions))
     engine.key, sub = jax.random.split(engine.key)
-    pos, scores, _ = run(engine.variables, b, ref, sub)
+    pos, scores, _ = run(engine.variables, b.replace(names=(), meta=()), ref, sub)
     pos = np.asarray(pos)
     center = np.asarray(batch.orig_center[0])
     return pos + center, np.asarray(scores["phscore1"]).tolist()
@@ -403,6 +469,7 @@ def train_confidence(args) -> None:
         for batch in loader:
             key, sub = jax.random.split(key)
             state, m = step_jit(state, batch.replace(names=(), meta=()), sub)
+            m = jax.device_get(m)
             meter.add({k: float(m[k]) for k in keys})
         summary = meter.summary()
         summary.update({"epoch": epoch, "lr": lr,
@@ -419,8 +486,8 @@ def train_confidence(args) -> None:
             vmeter = AverageMeter(list(keys))
             for batch in val_loader:
                 key, sub = jax.random.split(key)
-                vm = eval_jit(state.ema_variables,
-                              batch.replace(names=(), meta=()), sub)
+                vm = jax.device_get(eval_jit(
+                    state.ema_variables, batch.replace(names=(), meta=()), sub))
                 vmeter.add({k: float(vm[k]) for k in keys})
             vs = vmeter.summary()
             vs.update({"epoch": epoch, "mode": "confidence_val"})
@@ -467,6 +534,17 @@ def main(argv=None) -> None:
     if len(train_ds) == 0:
         raise SystemExit("Empty training dataset")
     loader = BucketLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed)
+    warm_loader = None
+    if args.warmup_epochs > 0:
+        from ..data.dataset import warmup_subset
+
+        warm = warmup_subset(train_ds, args.warmup_number,
+                             args.warmup_propotion, args.seed)
+        if warm is not train_ds:
+            warm_loader = BucketLoader(warm, args.batch_size, shuffle=True,
+                                       seed=args.seed)
+            log_info(f"Warmup: first {args.warmup_epochs} epochs on "
+                     f"{len(warm)}/{len(train_ds)} samples")
 
     example = next(iter(loader))
     state, tx = create_train_state(cfg, example, seed=args.seed, lr=args.lr,
@@ -483,14 +561,18 @@ def main(argv=None) -> None:
             args.tor_weight, args.delta_t,
         )
     devices = jax.devices()
+    mesh = None
     if len(devices) > 1:
         from ..parallel.mesh import make_mesh, shard_train_step
 
         mesh = make_mesh(devices)
         if args.batch_size % len(devices):
             raise SystemExit("batch_size must divide the device count")
-        step_jit = shard_train_step(step_fn, mesh)
-        cc_step_jit = jax.jit(cc_step_fn) if cc_step_fn else None
+        # both steps take (state, batch, key, scalar-prob): reject prob for
+        # the plain step, branch prob for the CCSampler step
+        step_jit = shard_train_step(step_fn, mesh, n_extra=1)
+        cc_step_jit = (shard_train_step(cc_step_fn, mesh, n_extra=1)
+                       if cc_step_fn else None)
         log_info(f"Sharded training over {len(devices)} devices (data axis)")
     else:
         step_jit = jax.jit(step_fn)
@@ -519,11 +601,14 @@ def main(argv=None) -> None:
     best_metric = -np.inf if args.inference_earlystop_goal == "max" else np.inf
     best_val_loss = np.inf
     plateau = 0
+    es_rounds = 0  # val-inference rounds without earlystop-metric improvement
     lr = args.restart_lr if (args.restart_dir and args.restart_lr > 0) else args.lr
     eval_jit = None
     val_loader = None
 
     for epoch in range(start_epoch, args.n_epochs):
+        if args.profile_dir and epoch == start_epoch:
+            jax.profiler.start_trace(args.profile_dir)
         # CCSampler probability schedule (reference dynamic_schedule /
         # epoch_from_infer gating, pdbbind_phore.py:236-241, 361-374)
         p_cc = 0.0
@@ -538,7 +623,14 @@ def main(argv=None) -> None:
         use_cc = cc_step_jit is not None and p_cc > 0
         meter = AverageMeter(["loss", "tr_loss", "rot_loss", "tor_loss"])
         t0 = time.time()
-        for batch in loader:
+        # reference sample_modification curriculum: y = cofactor *
+        # epoch / n_epochs (pdbbind_phore.py:195-203)
+        rp = np.float32(args.reject_rate * epoch / max(args.n_epochs, 1)
+                        if args.reject else 0.0)
+        epoch_loader = (warm_loader if (warm_loader is not None
+                                        and epoch < args.warmup_epochs)
+                        else loader)
+        for batch in epoch_loader:
             key, sub = jax.random.split(key)
             # strip host metadata: numpy arrays inside the static meta field
             # would break jit treedef equality
@@ -546,15 +638,16 @@ def main(argv=None) -> None:
             if use_cc:
                 state, m = cc_step_jit(state, clean, sub,
                                        np.float32(p_cc))
-            elif args.reject:
-                # reference sample_modification curriculum: y = cofactor *
-                # epoch / n_epochs (pdbbind_phore.py:195-203)
-                rp = np.float32(args.reject_rate * epoch / max(args.n_epochs, 1))
-                state, m = step_jit(state, clean, sub, rp)
             else:
-                state, m = step_jit(state, clean, sub)
+                state, m = step_jit(state, clean, sub, rp)
+            # ONE device->host transfer per step: per-key float() pulls cost
+            # a full tunnel round trip each on a remote-attached TPU
+            m = jax.device_get(m)
             meter.add({k: float(m[k]) for k in
                        ("loss", "tr_loss", "rot_loss", "tor_loss")})
+        if args.profile_dir and epoch == start_epoch:
+            jax.profiler.stop_trace()
+            log_info(f"jax.profiler trace written to {args.profile_dir}")
         summary = meter.summary()
         summary.update({"epoch": epoch, "lr": lr, "epoch_time": time.time() - t0})
         log_info(f"epoch {epoch}: loss={summary.get('loss', float('nan')):.4f} "
@@ -570,8 +663,14 @@ def main(argv=None) -> None:
             from ..train.state import make_eval_step
 
             if eval_jit is None:
-                eval_jit = jax.jit(make_eval_step(
-                    cfg, args.tr_weight, args.rot_weight, args.tor_weight))
+                eval_step = make_eval_step(
+                    cfg, args.tr_weight, args.rot_weight, args.tor_weight)
+                if mesh is not None:
+                    from ..parallel.mesh import shard_eval_step
+
+                    eval_jit = shard_eval_step(eval_step, mesh)
+                else:
+                    eval_jit = jax.jit(eval_step)
                 val_loader = _BL(val_ds, args.batch_size, shuffle=False)
             keys_ = ("loss", "tr_loss", "rot_loss", "tor_loss",
                      "tr_base_loss", "rot_base_loss", "tor_base_loss")
@@ -579,10 +678,14 @@ def main(argv=None) -> None:
             n_int = max(args.test_sigma_intervals, 0)
             for vb in val_loader:
                 key, sub = jax.random.split(key)
-                vm = eval_jit(state.variables, vb.replace(names=(), meta=()), sub)
+                vmask = np.asarray(vb.valid)
+                vm = jax.device_get(
+                    eval_jit(state.variables, vb.replace(names=(), meta=()), sub))
                 per_graph = {k: np.asarray(vm[k]) for k in keys_}
                 ts = np.asarray(vm["t"])
                 for g in range(len(ts)):
+                    if not vmask[g]:
+                        continue  # repeat-padded row
                     vmeter.add({k: per_graph[k][g] for k in keys_})
                     if n_int > 1:
                         idx = int(round(float(ts[g]) * (n_int - 1)))
@@ -607,11 +710,19 @@ def main(argv=None) -> None:
                 plateau = 0
                 log_info(f"plateau: lr -> {lr:.2e}")
 
-        checkpoints.save_variables(state, os.path.join(args.run_dir, checkpoints.LAST_MODEL))
+        if (epoch + 1) % max(args.ckpt_freq, 1) == 0 or epoch == args.n_epochs - 1:
+            checkpoints.save_variables(
+                state, os.path.join(args.run_dir, checkpoints.LAST_MODEL))
 
         if val_ds is not None and args.val_inference_freq and \
                 (epoch + 1) % args.val_inference_freq == 0:
-            vm = val_inference(cfg, state.ema_variables, val_ds, args)
+            # during warmup, validate on fewer complexes too
+            # (valid_warmup_number / valid_warmup_propotion)
+            n_inf = None
+            if epoch < args.warmup_epochs:
+                n_inf = (args.valid_warmup_number if args.valid_warmup_number > 0
+                         else max(1, int(args.valid_warmup_propotion * len(val_ds))))
+            vm = val_inference(cfg, state.ema_variables, val_ds, args, n_inf)
             vm["epoch"] = epoch
             metrics_out.write(vm)
             log_info(f"val inference: {vm}")
@@ -620,12 +731,20 @@ def main(argv=None) -> None:
                 else (metric < best_metric)
             if better:
                 best_metric = metric
+                es_rounds = 0
                 checkpoints.save_variables(
                     state.ema_variables,
                     os.path.join(args.run_dir, checkpoints.BEST_EMA_MODEL),
                 )
                 log_info(f"new best {args.inference_earlystop_metric}={metric:.4f}; "
                          f"saved {checkpoints.BEST_EMA_MODEL}")
+            else:
+                es_rounds += 1
+                if args.early_stop_patience and es_rounds >= args.early_stop_patience:
+                    log_info(
+                        f"early stop: {args.inference_earlystop_metric} did not "
+                        f"improve for {es_rounds} val-inference rounds")
+                    break
     metrics_out.close()
     log_info("Training finished.")
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,9 +67,28 @@ def sinusoidal_embedding(
     return emb
 
 
+def gaussian_fourier_embedding(
+    t: jnp.ndarray, embedding_dim: int, scale: float = 1.0, seed: int = 0
+) -> jnp.ndarray:
+    """Gaussian Fourier noise-level embedding (reference
+    diffusion_utils.py:96-110, GaussianFourierProjection).
+
+    The reference draws a frozen non-trainable projection W ~ N(0, scale^2)
+    at module construction; here W is derived from a fixed PRNG seed so the
+    embedding is deterministic across processes and checkpoints.
+    """
+    w = jax.random.normal(
+        jax.random.PRNGKey(seed), (embedding_dim // 2,), jnp.float32
+    ) * scale
+    proj = t[..., None].astype(jnp.float32) * w * (2.0 * math.pi)
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
 def timestep_embedding(embedding_type: str, embedding_dim: int, embedding_scale: float = 10000):
-    """Factory matching reference get_timestep_embedding (sinusoidal only;
-    the fourier variant is unused by the shipped config)."""
+    """Factory matching reference get_timestep_embedding
+    (diffusion_utils.py:111-133): 'sinusoidal' or 'fourier'."""
     if embedding_type == "sinusoidal":
         return lambda t: sinusoidal_embedding(embedding_scale * t, embedding_dim)
+    if embedding_type == "fourier":
+        return lambda t: gaussian_fourier_embedding(t, embedding_dim, embedding_scale)
     raise NotImplementedError(embedding_type)
