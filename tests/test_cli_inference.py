@@ -8,6 +8,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 SQC = "/root/reference/examples/phore/sQC_QFA_complex.phore"
 LIG = "/root/reference/examples/ligands/STK936575.sdf"
 

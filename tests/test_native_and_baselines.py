@@ -7,6 +7,8 @@ import subprocess
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 GOLD_SDF = "/root/reference/examples/output/1/mapping_process/sQC_Substrate__STK936575/sQC_Substrate__STK936575.sdf"
 GOLD_SCORE = "/root/reference/examples/output/1/mapping_process/sQC_Substrate__STK936575/sQC_Substrate__STK936575.score"
 SQC = "/root/reference/examples/phore/sQC_QFA_complex.phore"
@@ -112,3 +114,61 @@ def test_coord_recovery_roundtrip():
     assert float(loss) < 1.0  # distances reproduced
     d = np.linalg.norm(np.asarray(coords)[:, None] - np.asarray(phore_pos)[None], axis=-1)
     assert np.abs(d - np.asarray(pred_dist)).mean() < 0.5
+
+
+def test_phore_screen_task(binary, tmp_path):
+    """--task screen really screens: ranked CSV + AUC/EF from labels
+    (round-1 weakness: the flag silently ran the align loop)."""
+    import pandas as pd
+
+    from diffphore_tpu.baselines.run_phore import main as phore_main
+
+    ligs = ["STK243239", "STK255897", "STK324209"]
+    csv = tmp_path / "screen.csv"
+    pd.DataFrame([
+        {"ligand_description": f"/root/reference/examples/ligands/{n}.sdf",
+         "label": int(i == 0)}
+        for i, n in enumerate(ligs)
+    ]).to_csv(csv, index=False)
+    out = tmp_path / "screen_out"
+    phore_main(["--task", "screen", "--tool", "ancphore",
+                "--dataset_csv", str(csv), "--phore", SQC,
+                "--out_dir", str(out)])
+    ranked = pd.read_csv(out / "ancphore_screen_ranked.csv")
+    assert len(ranked) == 3
+    assert list(ranked["best_score"]) == sorted(ranked["best_score"], reverse=True)
+    summary = json.load(open(out / "ancphore_screen_summary.json"))
+    assert 0.0 <= summary["roc_auc"] <= 1.0
+
+
+def test_phore_fishing_task(binary, tmp_path):
+    """--task fishing ranks a phore library for one query ligand."""
+    import shutil as _sh
+
+    import pandas as pd
+
+    from diffphore_tpu.baselines.run_phore import main as phore_main
+
+    phore_dir = tmp_path / "phores"
+    phore_dir.mkdir()
+    _sh.copy(SQC, phore_dir / "targetA.phore")
+    _sh.copy(SQC, phore_dir / "targetB.phore")
+    out = tmp_path / "fishing_out"
+    phore_main(["--task", "fishing", "--tool", "ancphore",
+                "--ligand", "/root/reference/examples/ligands/STK243239.sdf",
+                "--phore_dir", str(phore_dir), "--out_dir", str(out)])
+    ranked = pd.read_csv(out / "ancphore_fishing_ranked.csv")
+    assert set(ranked["target"]) == {"targetA", "targetB"}
+
+
+def test_phore_task_flags_require_inputs(tmp_path):
+    """screen/fishing without their inputs must error, not fall through."""
+    import pytest as _pytest
+
+    from diffphore_tpu.baselines.run_phore import main as phore_main
+
+    with _pytest.raises(SystemExit):
+        phore_main(["--task", "screen", "--dataset_csv", "x.csv",
+                    "--out_dir", str(tmp_path)])
+    with _pytest.raises(SystemExit):
+        phore_main(["--task", "fishing", "--out_dir", str(tmp_path)])

@@ -7,6 +7,8 @@ scores invariant.
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation

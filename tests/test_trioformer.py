@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from diffphore_tpu.chem import parse_sdf
@@ -9,6 +10,8 @@ from diffphore_tpu.data.graphs import build_complex
 from diffphore_tpu.data.phore import parse_phore
 from diffphore_tpu.models import ScoreModel, ScoreModelConfig
 from diffphore_tpu.models.trioformer import E3Phore
+
+pytestmark = pytest.mark.slow
 
 
 def _batch():
