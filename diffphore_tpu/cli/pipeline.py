@@ -134,7 +134,10 @@ class FitEngine:
         same before training).
         """
         model, cfg = self.model, self.cfg
-        batch = repeat_batch(job.batch, min(self.n, 8))
+        # accepts a ComplexJob or a bare ComplexBatch (cli/evaluate passes
+        # the cached batch directly)
+        base = getattr(job, "batch", job)
+        batch = repeat_batch(base, min(self.n, 8)).replace(names=(), meta=())
 
         @jax.jit
         def step(variables, key):

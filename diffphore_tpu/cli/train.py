@@ -97,6 +97,10 @@ def parse_args(argv=None):
     p.add_argument("--test_sigma_intervals", type=int, default=0,
                    help="val loss bucketed into this many t intervals "
                         "(reference test_epoch sigma intervals; 0 = off)")
+    p.add_argument("--val_loss_freq", type=int, default=1,
+                   help="run the val-loss epoch every N epochs (reference "
+                        "runs it every epoch; raise on a remote-attached "
+                        "TPU where it dominates short epochs)")
     # ccsampler (calibrated conformation sampler)
     p.add_argument("--reject", action="store_true",
                    help="curriculum rejection sampling of noise draws")
@@ -658,7 +662,8 @@ def main(argv=None) -> None:
         # val loss epoch (reference test_epoch runs every epoch when a val
         # set exists; optional per-sigma-interval breakdown)
         val_summary = None
-        if val_ds is not None and len(val_ds):
+        if val_ds is not None and len(val_ds) and \
+                (epoch + 1) % max(args.val_loss_freq, 1) == 0:
             from ..data.loaders import BucketLoader as _BL
             from ..train.state import make_eval_step
 

@@ -64,6 +64,10 @@ class ScoreModelConfig:
     auto_phorefp: bool = False
     use_att: bool = False
     trioformer_layer: int = 1
+    # tr/rot magnitude head: "norm_gated" = reference semantics
+    # (vec/|vec| * MLP(|vec|, sigma)); "linear" = vec * (1 + softplus(MLP))
+    # - a saddle-free variant, see magnitude_head() in __call__
+    magnitude_head: str = "norm_gated"
     # computation precision of the tensor-product convolutions ("bfloat16"
     # drives the MXU; geometry/score math stays float32)
     compute_dtype: str = "bfloat16"
@@ -177,6 +181,16 @@ class ScoreModel(nn.Module):
             h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
             h = nn.relu(h)
             mag = nn.Dense(1, name=f"{name}_dense2")(h)
+            if cfg.magnitude_head == "linear":
+                # gradient-friendly variant: scale the raw covariant vector
+                # by a positive sigma-conditioned gain instead of replacing
+                # its norm.  The reference's norm-gated head (vec/|vec|*mag)
+                # is a training saddle: when the initial direction is
+                # uninformative, mag collapses to 0 and the gradient into
+                # vec (proportional to mag) vanishes - observed as the
+                # translation loss pinning at its base value while
+                # rotation/torsion train (see tests/test_train_cli.py).
+                return vec * (1.0 + nn.softplus(mag))
             return vec / jnp.maximum(norm, 1e-12) * mag
 
         tr_pred = magnitude_head(tr_pred, "tr_final_layer")

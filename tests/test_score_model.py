@@ -134,3 +134,29 @@ def test_reference_yaml_config_loads():
     assert cfg.atom_weight == "phore" and cfg.scaler == 100.0
     assert cfg.clash_cutoff == (1.0, 2.0, 3.0, 4.0, 5.0)
     assert cfg.tr_sigma_max == 5.0
+
+
+def test_linear_magnitude_head(complex_batch):
+    """magnitude_head='linear' (saddle-free variant): finite, co-rotating
+    outputs of the same shapes as the reference-faithful norm-gated head."""
+    cfg2 = CFG.__class__(**{**CFG.__dict__, "magnitude_head": "linear"})
+    model = ScoreModel(cfg2)
+    variables = model.init(jax.random.PRNGKey(0), complex_batch)
+    tr, rot, tor = apply_batch_stats(model, variables, complex_batch)
+    assert tr.shape == (1, 3) and rot.shape == (1, 3)
+    assert bool(jnp.isfinite(tr).all() and jnp.isfinite(rot).all())
+
+    R = jnp.asarray(Rotation.from_euler("xyz", [0.3, -0.5, 0.8]).as_matrix(),
+                    jnp.float32)
+    rotate = lambda x: jnp.einsum("...i,ji->...j", x, R)
+    b2 = complex_batch.replace(
+        lig_pos=rotate(complex_batch.lig_pos),
+        phore_pos=rotate(complex_batch.phore_pos),
+        phore_norm=rotate(complex_batch.phore_norm),
+        lig_norm=rotate(complex_batch.lig_norm),
+    )
+    tr2, rot2, _ = apply_batch_stats(model, variables, b2)
+    np.testing.assert_allclose(np.asarray(rotate(tr)), np.asarray(tr2),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(rotate(rot)), np.asarray(rot2),
+                               rtol=2e-3, atol=2e-4)
