@@ -98,3 +98,39 @@ def calc_phore_fitting(
         log_error(f"No score file generated for {ligand_file}")
         return None
     return parse_score_file(score_file, return_all=return_all, fitness=fitness)
+
+
+def generate_complex_phore(
+    ligand_file: str,
+    protein_file: str,
+    pdb_id: str,
+    tmp_dir: str = "data/complex_phores",
+    ancphore_path: str = ANCPHORE,
+) -> str:
+    """Reference-signature complex->phore generation
+    (process_pharmacophore.py:854-883: shells out to
+    ``AncPhore -l lig -p prot --refphore out``).
+
+    The closed-source binary cannot generate phores, so this delegates to the
+    native host implementation (chem/complex_phore.py) while keeping the
+    reference's file contract: writes
+    ``{tmp_dir}/complex_phores/{pdb_id}_complex.phore`` and returns the file
+    content (empty string on failure)."""
+    out_file = os.path.join(tmp_dir, f"complex_phores/{pdb_id}_complex.phore")
+    os.makedirs(os.path.dirname(out_file), exist_ok=True)
+    if not os.path.exists(out_file):
+        try:
+            from ..chem.complex_phore import generate_complex_phore as _gen
+            from ..chem.sdf import read_molecule
+
+            mol = read_molecule(ligand_file, remove_hs=True)
+            if mol is None:
+                raise ValueError(f"could not read ligand {ligand_file}")
+            _gen(protein_file, mol, out_file=out_file,
+                 name=f"{pdb_id}_complex", overwrite=False)
+        except Exception as e:  # noqa: BLE001 - reference prints and continues
+            log_error(f"complex phore generation failed for {pdb_id}: {e}")
+    if os.path.exists(out_file):
+        with open(out_file) as f:
+            return f.read()
+    return ""

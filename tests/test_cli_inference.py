@@ -110,3 +110,37 @@ def test_cli_visualisation_config_splitfile(tmp_path):
             for c in cmd] + ["--out_dir", str(tmp_path / "out2")]
     proc2 = subprocess.run(cmd2, capture_output=True, text=True, env=env, timeout=120)
     assert "No valid fitting samples" in proc2.stdout + proc2.stderr
+
+
+def test_cli_batched_dispatch(tmp_path):
+    """--batch_complexes packs same-bucket complexes into one dispatch; the
+    artifact contract must be identical to the per-complex path."""
+    import csv as _csv
+
+    out_dir = tmp_path / "out"
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    (model_dir / "model_parameters.yml").write_text(
+        "ns: 8\nnv: 4\nnum_conv_layers: 2\ndropout: 0.0\n"
+    )
+    csv_path = tmp_path / "screen.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["phore", "ligand_description"])
+        for lig in ("STK936575", "STK243239"):
+            w.writerow([SQC, f"/root/reference/examples/ligands/{lig}.sdf"])
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="")
+    cmd = [
+        sys.executable, "-m", "diffphore_tpu.cli.inference",
+        "--phore_ligand_csv", str(csv_path), "--out_dir", str(out_dir),
+        "--model_dir", str(model_dir), "--allow_random_init", "true",
+        "--sample_per_complex", "3", "--inference_steps", "3",
+        "--batch_complexes", "2",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    results = json.load(open(out_dir / "inference_results.json"))
+    assert len(results["name"]) == 2
+    for name in results["name"]:
+        assert (out_dir / "ranked_poses" / f"{name}_ranked.sdf").exists()
+        assert (out_dir / "mapping_process" / name / f"{name}.score").exists()

@@ -129,3 +129,21 @@ def test_crystal_ligand_scores_sensibly(pocket, tmp_path):
     assert float(crystal["phscore1"]) > float(decoy["phscore1"]) + 0.2
     # the crystal pose matches every emitted feature (it generated them)
     assert float(crystal["match_pct"]) >= 0.8
+
+
+def test_bridge_reference_signature(pocket, tmp_path):
+    """utils.ancphore_bridge.generate_complex_phore keeps the reference file
+    contract ({tmp_dir}/complex_phores/{id}_complex.phore + content string,
+    process_pharmacophore.py:854-883)."""
+    from diffphore_tpu.utils.ancphore_bridge import generate_complex_phore
+
+    pdb, mol = pocket
+    lig = str(tmp_path / "lig.sdf")
+    from diffphore_tpu.chem.sdf import write_sdf
+
+    write_sdf(mol, lig)
+    content = generate_complex_phore(lig, pdb, "toy", tmp_dir=str(tmp_path))
+    out = tmp_path / "complex_phores" / "toy_complex.phore"
+    assert out.exists()
+    assert content.startswith("toy_complex")
+    assert "$$$$" in content
