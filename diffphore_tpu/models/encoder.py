@@ -79,6 +79,7 @@ class LigPhoreEncoder(nn.Module):
     trioformer_layer: int = 1
     compute_dtype: str = "float32"
     tp_mode: str = "fully_connected"
+    use_pallas_fused: bool = False
 
     @property
     def irrep_seq(self):
@@ -176,7 +177,7 @@ class LigPhoreEncoder(nn.Module):
             n_edge_features=3 * ns, hidden_features=3 * ns,
             batch_norm=self.batch_norm, dropout=self.dropout,
             compute_dtype=self.compute_dtype, tp_mode=self.tp_mode,
-            name=f"{name}_{i}",
+            use_pallas_fused=self.use_pallas_fused, name=f"{name}_{i}",
         )
 
         for l in range(self.num_conv_layers):

@@ -180,6 +180,9 @@ class DenseTPConv(nn.Module):
     #: same function class, ~20x smaller per-edge weight tensors (the TPU
     #: fast path; see ops.tensor_product.ChannelwiseTP)
     tp_mode: str = "fully_connected"
+    #: use the fused edge-MLP + TP-aggregate pallas kernel for deterministic
+    #: channelwise calls on TPU (ops/pallas/tp_fused.py)
+    use_pallas_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -204,26 +207,68 @@ class DenseTPConv(nn.Module):
             self.in_irreps, self.sh_irreps, self.out_irreps)
         hidden = self.hidden_features or self.n_edge_features
         cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
-        fc = MLP(hidden, tp.weight_numel, self.dropout, dtype=cdt, name="fc")
 
         attrs = edge_attr if isinstance(edge_attr, (list, tuple)) else [edge_attr]
         masks = edge_mask if isinstance(edge_mask, (list, tuple)) else [edge_mask]
-        w = 0.0
         counts = 0.0
-        for attr, m in zip(attrs, masks):
-            w = w + fc(attr, deterministic=deterministic) * m[..., None]
+        for m in masks:
             counts = counts + m.sum(axis=-1)  # (..., N)
-
-        x = sender_feat[..., None, :, :]  # (..., 1, M, dim) over receivers
-        if cdt is not None:
-            x = x.astype(cdt)
-            edge_sh = edge_sh.astype(cdt)
         denom = jnp.maximum(counts, 1.0)
+
         if channelwise:
-            # one einsum per path with the sender-sum folded in: never
-            # materializes per-edge contributions or a broadcast of x over
-            # receivers (those relayout copies dominated the profile)
-            blocks = tp.aggregate(sender_feat.astype(w.dtype), edge_sh, w)
+            # explicit edge-MLP params: the SAME tensors drive the XLA path
+            # and the fused pallas kernel (which computes the MLP in VMEM)
+            E = attrs[0].shape[-1]
+            w1 = self.param("fc_w1", nn.initializers.lecun_normal(), (E, hidden))
+            b1 = self.param("fc_b1", nn.initializers.zeros, (hidden,))
+            w2 = self.param("fc_w2", nn.initializers.lecun_normal(),
+                            (hidden, tp.weight_numel))
+            b2 = self.param("fc_b2", nn.initializers.zeros, (tp.weight_numel,))
+            cd = cdt or jnp.float32
+
+            use_fused = (
+                self.use_pallas_fused
+                and deterministic  # kernel has no dropout / custom VJP
+                and jax.default_backend() == "tpu"
+                and all(ir.l <= 1 for _, ir in tp.irreps_out.items)
+                and all(ir.l <= 1 for _, ir in tp.irreps_in.items)
+            )
+            if use_fused:
+                from ..ops.pallas.tp_aggregate import blocks_from_padded
+                from ..ops.pallas.tp_fused import tp_aggregate_fused
+
+                padded = tp_aggregate_fused(
+                    tp, sender_feat.astype(jnp.float32),
+                    edge_sh.astype(jnp.float32),
+                    tuple(a.astype(jnp.float32) for a in attrs),
+                    tuple(masks), w1, b1, w2, b2,
+                )
+                blocks = blocks_from_padded(tp, padded)
+                w = padded  # only .shape[:-3] and dtype are consumed below
+            else:
+                w = 0.0
+                drop = nn.Dropout(self.dropout, deterministic=deterministic)
+                for attr, m in zip(attrs, masks):
+                    h = nn.relu(attr.astype(cd) @ w1.astype(cd) + b1.astype(cd))
+                    h = drop(h)
+                    wc = h @ w2.astype(cd) + b2.astype(cd)
+                    w = w + wc * m[..., None]
+                # one einsum per path with the sender-sum folded in: never
+                # materializes per-edge contributions or a broadcast of x
+                # over receivers (those relayout copies dominated the
+                # profile)
+                blocks = tp.aggregate(
+                    sender_feat.astype(w.dtype), edge_sh.astype(w.dtype), w)
+        else:
+            fc = MLP(hidden, tp.weight_numel, self.dropout, dtype=cdt, name="fc")
+            w = 0.0
+            for attr, m in zip(attrs, masks):
+                w = w + fc(attr, deterministic=deterministic) * m[..., None]
+            x = sender_feat[..., None, :, :]  # (..., 1, M, dim) over receivers
+            if cdt is not None:
+                x = x.astype(cdt)
+                edge_sh = edge_sh.astype(cdt)
+        if channelwise:
             parts = []
             for (k, fan_in, mul_out), block in zip(tp.mix_specs, blocks):
                 mul, ir = tp.irreps_out.items[k]

@@ -74,6 +74,9 @@ class ScoreModelConfig:
     # tensor-product parameterization: "channelwise" (uvu + static mix, the
     # TPU fast path) or "fully_connected" (reference e3nn uvw semantics)
     tp_mode: str = "channelwise"
+    # fused edge-MLP + TP-aggregate pallas kernel for deterministic
+    # (inference) channelwise convs on TPU (ops/pallas/tp_fused.py)
+    use_pallas_fused: bool = False
     # diffusion schedule
     tr_sigma_min: float = 0.1
     tr_sigma_max: float = 5.0
@@ -137,7 +140,8 @@ class ScoreModel(nn.Module):
             by_radius=cfg.by_radius, clash_tolerance=cfg.clash_tolerance,
             auto_phorefp=cfg.auto_phorefp, use_att=cfg.use_att,
             trioformer_layer=cfg.trioformer_layer,
-            compute_dtype=cfg.compute_dtype, tp_mode=cfg.tp_mode, name="encoder",
+            compute_dtype=cfg.compute_dtype, tp_mode=cfg.tp_mode,
+            use_pallas_fused=cfg.use_pallas_fused, name="encoder",
         )
         lig_attr, _ = encoder(
             batch, sigma_emb, deterministic=deterministic,
@@ -163,7 +167,8 @@ class ScoreModel(nn.Module):
             in_irreps=lig_irreps, out_irreps="2x1o + 2x1e",
             n_edge_features=2 * ns, batch_norm=not cfg.no_batch_norm,
             dropout=cfg.dropout, compute_dtype=cfg.compute_dtype,
-            tp_mode=cfg.tp_mode, name="final_conv",
+            tp_mode=cfg.tp_mode, use_pallas_fused=cfg.use_pallas_fused,
+            name="final_conv",
         )(
             lig_attr, center_attr[:, None], center_sh[:, None],
             batch.lig_mask[:, None, :], receiver_mask=jnp.ones((B, 1), bool),
@@ -240,7 +245,7 @@ class ScoreModel(nn.Module):
             sh_irreps=repr(tor_sh_irreps), n_edge_features=3 * ns,
             batch_norm=not cfg.no_batch_norm, dropout=cfg.dropout,
             compute_dtype=cfg.compute_dtype, tp_mode=cfg.tp_mode,
-            name="tor_bond_conv",
+            use_pallas_fused=cfg.use_pallas_fused, name="tor_bond_conv",
         )(
             lig_attr, t_attr, tor_sh, tmask,
             receiver_mask=batch.tor_mask,
