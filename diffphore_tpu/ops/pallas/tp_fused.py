@@ -59,21 +59,23 @@ def _combo_tables(tp: ChannelwiseTP) -> Tuple[Tuple[int, int, np.ndarray], ...]:
                         continue
                     j_abs = sh_slices[p.i_sh].start + j
                     key = (j_abs, k)
-                    sel = combos.setdefault(key, np.zeros((F, K_PAD), np.float32))
-                    sel[p.w_slice[0]:p.w_slice[1], i] += p.alpha * coeff
+                    sel = combos.setdefault(key, np.zeros((K_PAD, F), np.float32))
+                    sel[i, p.w_slice[0]:p.w_slice[1]] += p.alpha * coeff
     return tuple((j_abs, k, sel) for (j_abs, k), sel in sorted(combos.items()))
 
 
 def _kernel(combo_jk, n_chan, xg_ref, sh_ref, attr_ref, mask_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, sel_ref, out_ref, acc, wbuf):
-    # xg (1, M, F, K_PAD); sh (1, TN, M, 9); attr (C, 1, TN, M, E);
-    # mask (C, 1, TN, M); params full; out (1, TN, F, K_PAD)
-    xg = xg_ref[0].astype(jnp.float32)           # (M, F, K_PAD)
+    # channel lanes LAST everywhere: K_PAD=4 in the lane dim would pad every
+    # buffer to 128 lanes and blow scoped VMEM.
+    # xg (1, M, K_PAD, F); sh (1, TN, M, 9); attr (C, 1, TN, M, E);
+    # mask (C, 1, TN, M); params full; out (1, TN, K_PAD, F)
+    xg = xg_ref[0].astype(jnp.float32)           # (M, K_PAD, F)
     sh = sh_ref[0].astype(jnp.float32)           # (TN, M, 9)
     TN, M = sh.shape[0], sh.shape[1]
     E = attr_ref.shape[-1]
     H = w1_ref.shape[-1]
-    F = xg.shape[1]
+    F = xg.shape[-1]
 
     w1 = w1_ref[...].astype(jnp.float32)
     b1 = b1_ref[...].astype(jnp.float32)
@@ -81,28 +83,30 @@ def _kernel(combo_jk, n_chan, xg_ref, sh_ref, attr_ref, mask_ref,
     b2 = b2_ref[...].astype(jnp.float32)
 
     # ---- edge MLP in VMEM: w = (sum_c relu(attr_c W1 + b1) m_c) W2
-    #      + (sum_c m_c) b2
-    hsum = jnp.zeros((TN * M, H), jnp.float32)
+    #      + (sum_c m_c) b2.  3-D dot_general keeps the (TN, M, .) layout:
+    #      Mosaic cannot shape-cast across the sublane/lane split.
+    dot = lambda a, b: jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    hsum = jnp.zeros((TN, M, H), jnp.float32)
     msum = jnp.zeros((TN, M), jnp.float32)
     for c in range(n_chan):
-        attr = attr_ref[c, 0].astype(jnp.float32).reshape(TN * M, E)
-        m = mask_ref[c, 0].astype(jnp.float32)   # (TN, M)
-        h = jnp.maximum(
-            jnp.dot(attr, w1, preferred_element_type=jnp.float32) + b1, 0.0)
-        hsum = hsum + h * m.reshape(TN * M, 1)
+        attr = attr_ref[c, 0].astype(jnp.float32)      # (TN, M, E)
+        m = mask_ref[c, 0].astype(jnp.float32)         # (TN, M)
+        h = jnp.maximum(dot(attr, w1) + b1, 0.0)       # (TN, M, H)
+        hsum = hsum + h * m[:, :, None]
         msum = msum + m
-    w = jnp.dot(hsum, w2, preferred_element_type=jnp.float32).reshape(TN, M, F)
-    w = w + msum[:, :, None] * b2
+    w = dot(hsum, w2) + msum[:, :, None] * b2          # (TN, M, F)
     wbuf[:] = w
 
     # ---- full-lane TP aggregate
     acc[:] = jnp.zeros_like(acc)
     for q, (j_abs, k) in enumerate(combo_jk):
-        sel = sel_ref[q].astype(jnp.float32)     # (F, K_PAD)
-        # t[m, c] = sum_i xg[m, c, i] * sel[c, i]  (full F lanes)
-        t = (xg * sel).sum(axis=-1)              # (M, F)
+        sel = sel_ref[q].astype(jnp.float32)     # (K_PAD, F)
+        # t[m, c] = sum_i xg[m, i, c] * sel[i, c]  (full F lanes)
+        t = (xg * sel).sum(axis=1)               # (M, F)
         contrib = (wbuf[:] * t[None, :, :] * sh[:, :, j_abs][:, :, None]).sum(axis=1)
-        acc[:, :, k] += contrib
+        acc[:, k, :] += contrib
     out_ref[0] = acc[:]
 
 
@@ -125,18 +129,19 @@ def tp_aggregate_fused(
     assert all(ir.l <= 1 for _, ir in tp.irreps_out.items)
     assert all(ir.l <= 1 for _, ir in tp.irreps_in.items)
 
-    # per-channel component layout of x (same regather as step 2)
+    # per-channel component layout of x, components in SUBLANES (K_PAD
+    # first): xg[b, m, i, c]
     in_slices = tp.irreps_in.slices()
-    idx = np.zeros((F, K_PAD), np.int32)
-    valid = np.zeros((F, K_PAD), np.float32)
+    idx = np.zeros((K_PAD, F), np.int32)
+    valid = np.zeros((K_PAD, F), np.float32)
     for p in tp.paths:
         start = in_slices[p.i_in].start
         d1 = 2 * p.l_in + 1
         for u in range(p.mul_in):
             c = p.w_slice[0] + u
             for i in range(min(d1, K_PAD)):
-                idx[c, i] = start + u * d1 + i
-                valid[c, i] = 1.0
+                idx[i, c] = start + u * d1 + i
+                valid[i, c] = 1.0
     xg = x[:, :, jnp.asarray(idx)] * jnp.asarray(valid)
 
     attr = jnp.stack([a for a in attrs], axis=0)           # (C, B, N, M, E)
@@ -160,7 +165,7 @@ def tp_aggregate_fused(
         functools.partial(_kernel, combo_jk, C),
         grid=(B, Np // tile_n),
         in_specs=[
-            pl.BlockSpec((1, M, F, K_PAD), lambda b, n: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, K_PAD, F), lambda b, n: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n, M, sh.shape[-1]), lambda b, n: (b, n, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 1, tile_n, M, E), lambda b, n: (0, b, n, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 1, tile_n, M), lambda b, n: (0, b, n, 0), memory_space=pltpu.VMEM),
@@ -168,14 +173,15 @@ def tp_aggregate_fused(
             pl.BlockSpec((H,), lambda b, n: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, F), lambda b, n: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((F,), lambda b, n: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Q, F, K_PAD), lambda b, n: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, K_PAD, F), lambda b, n: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_n, F, K_PAD), lambda b, n: (b, n, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Np, F, K_PAD), jnp.float32),
+        out_specs=pl.BlockSpec((1, tile_n, K_PAD, F), lambda b, n: (b, n, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Np, K_PAD, F), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tile_n, F, K_PAD), jnp.float32),
+            pltpu.VMEM((tile_n, K_PAD, F), jnp.float32),
             pltpu.VMEM((tile_n, M, F), jnp.float32),
         ],
         interpret=interpret,
     )(xg, sh, attr, mask, w1, b1, w2, b2, sel_stack)
-    return out[:, :N]
+    # back to (B, N, F, K_PAD) for blocks_from_padded
+    return jnp.swapaxes(out[:, :N], -1, -2)
