@@ -156,7 +156,7 @@ def write_score_file(path: str, name: str, ref_id: str, scores: Dict) -> None:
                 f"{scores['V_overlap'][i]:.6g}", f"{scores['match_pct'][i]:.6g}",
                 f"{scores['V_exOverlap'][i]:.6g}", f"{scores['anchor_pct'][i]:.6g}",
                 f"{scores['ov_pct'][i]:.6g}", f"{scores['ex_pct'][i]:.6g}",
-                f"{scores['fitness'][i]:.6g}", f"{scores['fitness'][i]:.6g}",
+                f"{scores['fitness'][i]:.6g}", f"{scores['fishing'][i]:.6g}",
                 f"{scores['phscore1'][i]:.6g}", f"{scores['phscore2'][i]:.6g}",
                 f"{scores['phscore3'][i]:.6g}", f"{scores['phscore4'][i]:.6g}",
             ]

@@ -200,13 +200,22 @@ def fitscore(
         if overlap_coeff >= 0
         else phscore(*PHSCORE_COEFFS[1])
     )
+    n_matched = matched.sum(axis=-1)
+    # target-fishing score (score-file column -5, fitness index 5): decoded
+    # from the golden files as PhScore1 * Tanimoto over feature counts,
+    # n / (N_db + N_ref - n) - e.g. STK674854 pose 0: 0.241217 * 2/(18+5-2)
+    # = 0.022973, matching the committed column exactly
+    n_db = (lig_phorefp * lig_mask[..., None]).sum(axis=(-2, -1))
+    fishing = phscore(*PHSCORE_COEFFS[1]) * n_matched / jnp.maximum(
+        n_db + n_ref - n_matched, 1.0)
     out = {
         "V_db": jnp.broadcast_to(V_db, ov_pct.shape),
         "V_ref": jnp.broadcast_to(V_ref, ov_pct.shape),
         "V_overlap": V_overlap, "match_pct": match_pct, "V_exOverlap": V_ex,
         "anchor_pct": anchor_pct, "ov_pct": ov_pct, "ex_pct": ex_pct,
         "fitness": custom,
-        "n_matched": matched.sum(axis=-1),
+        "fishing": jnp.broadcast_to(fishing, ov_pct.shape),
+        "n_matched": n_matched,
         "n_ref": jnp.broadcast_to(n_ref, ov_pct.shape),
     }
     for k, coeffs in PHSCORE_COEFFS.items():
@@ -216,9 +225,11 @@ def fitscore(
 
 def fitness_by_index(scores: Dict[str, jnp.ndarray], fitness: int = 1) -> jnp.ndarray:
     """Select the score the CLI --fitness flag refers to
-    (reference parse_score_file index map, process_pharmacophore.py:918)."""
+    (reference parse_score_file index map, process_pharmacophore.py:918):
+    1-4 = PhScore1-4; 5 = the target-fishing score (column -5);
+    6 = the custom-coefficient fitness (column -6)."""
     table = {
         1: "phscore1", 2: "phscore2", 3: "phscore3", 4: "phscore4",
-        5: "fitness", 6: "phscore1",
+        5: "fishing", 6: "fitness",
     }
     return scores[table.get(fitness, "phscore1")]

@@ -573,9 +573,13 @@ int main(int argc, char** argv) {
   for (auto& m : mols) {
     auto fp = perceive(m);
     double V_db = 0;
+    int n_db = 0;
     for (size_t i = 0; i < m.atoms.size(); ++i)
       for (int t = 0; t < EX; ++t)
-        if (fp[i][t] > 0) V_db += self_volume(TYPE_WEIGHT[t], TYPE_ALPHA[t]);
+        if (fp[i][t] > 0) {
+          V_db += self_volume(TYPE_WEIGHT[t], TYPE_ALPHA[t]);
+          ++n_db;
+        }
 
     double V_ov = 0, V_ex = 0, anchor_ov = 0;
     int matched = 0;
@@ -612,11 +616,16 @@ int main(int argc, char** argv) {
     };
     double custom = (w_o >= 0) ? ph(w_o, std::max(w_p, 0.0), std::max(w_a, 0.0))
                                : ph(1, 0, 0);
+    // target-fishing score (fitness index 5): PhScore1 * Tanimoto over
+    // feature counts, n / (N_db + N_ref - n) - decoded exactly from the
+    // reference's committed score files (column -5)
+    double denom_tf = std::max<double>(n_db + (int)feats.size() - matched, 1.0);
+    double fishing = ph(1, 0, 0) * matched / denom_tf;
     // column-index contract: [-6..-1] = custom, fishing, PhScore1..PhScore4
     out << m.name << "\t0.0\t" << ref_id << "\t" << feats.size() << "\t"
         << matched << "\t" << V_db << "\t" << V_ref << "\t" << V_ov << "\t"
         << match_pct << "\t" << V_ex << "\t" << anchor_pct << "\t" << ov_pct
-        << "\t" << ex_pct << "\t" << custom << "\t" << custom << "\t"
+        << "\t" << ex_pct << "\t" << custom << "\t" << fishing << "\t"
         << ph(1, 0, 0) << "\t" << ph(0.5, 0.5, 0) << "\t" << ph(0.5, 0, 0.5)
         << "\t" << ph(1.0 / 3, 1.0 / 3, 1.0 / 3) << "\n";
   }

@@ -309,3 +309,24 @@ def test_golden_set_rank_correlation_all_15():
     assert np.mean(within) >= 0.78, np.mean(within)
     cross = spearmanr(gold_max, pred_max).statistic
     assert cross >= 0.70, cross
+
+
+def test_target_fishing_score(golden):
+    """fitness index 5 = target-fishing score (score-file column -5):
+    PhScore1 * Tanimoto over feature counts, n / (N_db + N_ref - n) - the
+    combination decoded exactly from the reference's committed score files
+    (e.g. STK674854 pose 0: 0.241217 * 2/(18+5-2) = 0.022973)."""
+    poses, num, phore = golden
+    s = _score_poses(poses, phore)
+    n_db = float(np.asarray(
+        s["V_db"][0] * 0 + 0))  # placeholder, recompute below
+    fp, _ = perceive_phore_types(poses[0])
+    n_db = float(fp.sum())
+    fish = np.asarray(s["fishing"])
+    ph1 = np.asarray(s["phscore1"])
+    n = np.asarray(s["n_matched"], float)
+    n_ref = float(np.asarray(s["n_ref"])[0])
+    expect = ph1 * n / np.maximum(n_db + n_ref - n, 1.0)
+    np.testing.assert_allclose(fish, expect, rtol=1e-5, atol=1e-7)
+    assert fitness_by_index(s, 5).shape == (40,)
+    np.testing.assert_allclose(np.asarray(fitness_by_index(s, 5)), fish)
