@@ -212,11 +212,21 @@ def fit(args, engine: FitEngine, records: List[Dict], result_file: str) -> Dict:
         try:
             results = engine.run_complexes([j for j, _ in pending])
         except Exception as e:  # noqa: BLE001
-            log_error(f"Sampling failed for dispatch of {len(pending)}: {e}")
-            pending.clear()
-            return
+            # one poison complex must not discard its batch-mates: fall back
+            # to per-complex dispatches and skip only the actual failures
+            log_error(f"Dispatch of {len(pending)} failed ({e}); retrying "
+                      f"each complex individually")
+            results = []
+            for job, _ in pending:
+                try:
+                    results.append(engine.run_complexes([job])[0])
+                except Exception as e2:  # noqa: BLE001
+                    log_error(f"Sampling failed for {job.name}: {e2}")
+                    results.append(None)
         per = (time.time() - t0) / len(pending)
         for (job, t_feat), result in zip(pending, results):
+            if result is None:
+                continue
             run_time = t_feat + per
             _write_complex_outputs(args, job, result, run_time)
             names.append(result["name"])
@@ -406,15 +416,12 @@ def main(argv=None) -> None:
         if args.use_mesh and len(jax.devices()) > 1:
             from ..parallel.mesh import make_mesh
 
-            rows = args.sample_per_complex * max(args.batch_complexes, 1)
-            if rows % len(jax.devices()) == 0:
-                mesh = make_mesh()
-                log_info(f"Sharding pose batches over {len(jax.devices())} "
-                         f"devices (data axis)")
-            else:
-                log_warn(f"sample_per_complex x batch_complexes = {rows} "
-                         f"not divisible by {len(jax.devices())} devices; "
-                         f"running single-device")
+            # non-divisible dispatches (final flush group, shape-bucket
+            # splits) are wrap-padded inside FitEngine.run_complexes, so the
+            # mesh is always safe to use
+            mesh = make_mesh()
+            log_info(f"Sharding pose batches over {len(jax.devices())} "
+                     f"devices (data axis)")
         engine = FitEngine(cfg, variables, args.sample_per_complex, settings,
                            fitness=args.fitness, seed=args.seed,
                            save_trajectory=args.save_visualisation,
@@ -435,23 +442,36 @@ def main(argv=None) -> None:
             shutil.move(result_file + ".tmp", result_file)
         else:
             json.dump(results, open(result_file, "w"), indent=4)
+        if n_proc > 1:
+            # completion marker: other ranks only merge finished journals
+            open(result_file + ".done", "w").write("ok\n")
         log_info(f"Phase timings: {engine.timers.report()}")
     else:
         results = json.load(open(result_file))
-    # multi-host gather: merge every rank's journal into one ranked table
-    # (the DCN is crossed only here, by file IO - mesh.py docstring)
-    import glob as _glob
+    # multi-host gather (rank 0 only): merge completed rank journals into one
+    # ranked table (the DCN is crossed only here, by file IO - mesh.py
+    # docstring).  Single-process runs never merge, so stale rank journals
+    # from an earlier multi-host run cannot inject phantom entries.
+    if n_proc > 1 and rank != 0:
+        log_info(f"rank {rank}: journal written; rank 0 merges and ranks")
+        return
+    if n_proc > 1:
+        import glob as _glob
 
-    for rf in sorted(_glob.glob(os.path.join(args.out_dir,
-                                             "inference_results.rank*.json"))):
-        if os.path.abspath(rf) == os.path.abspath(result_file):
-            continue
-        try:
-            other = json.load(open(rf))
-            for k in ("name", "fitscore", "run_time"):
-                results[k] = list(results.get(k, [])) + list(other.get(k, []))
-        except (OSError, ValueError) as e:
-            log_warn(f"Could not merge rank journal {rf}: {e}")
+        for rf in sorted(_glob.glob(os.path.join(args.out_dir,
+                                                 "inference_results.rank*.json"))):
+            if os.path.abspath(rf) == os.path.abspath(result_file):
+                continue
+            if not os.path.exists(rf + ".done"):
+                log_warn(f"Rank journal {rf} has no completion marker; "
+                         f"skipping (its rank may still be running)")
+                continue
+            try:
+                other = json.load(open(rf))
+                for k in ("name", "fitscore", "run_time"):
+                    results[k] = list(results.get(k, [])) + list(other.get(k, []))
+            except (OSError, ValueError) as e:
+                log_warn(f"Could not merge rank journal {rf}: {e}")
     if results and results.get("name"):
         analyze_results(args, results)
 

@@ -173,8 +173,11 @@ class FitEngine:
         settings, cfg, model = self.settings, self.cfg, self.model
         ura = self.use_running_average
         save_traj = self.save_trajectory
+        # scoring uses the AncPhore-calibrated fingerprint; the fishing
+        # score's N_db count keeps reference-SMARTS semantics via count_fp
         score_rows = jax.vmap(
-            lambda pos, mask, fp, v, r: fitscore(pos, mask, fp, v, r)
+            lambda pos, mask, fp, v, r, cfp: fitscore(
+                pos, mask, fp, v, r, count_fp=cfp)
         )
 
         def run(variables, batch, ref: PhoreArrays, key):
@@ -190,7 +193,7 @@ class FitEngine:
             if settings.random_samples > 1:
                 # per-step candidate selection by on-device fitness
                 fitness_fn = lambda b: score_rows(
-                    b.lig_pos, b.lig_mask, sfp, vdw, ref
+                    b.lig_pos, b.lig_mask, sfp, vdw, ref, batch.lig_phorefp
                 )["phscore1"]
 
             k1, k2 = jax.random.split(key)
@@ -199,7 +202,8 @@ class FitEngine:
                                     return_trajectory=save_traj,
                                     fitness_fn=fitness_fn)
             b, traj = out if save_traj else (out, None)
-            scores = score_rows(b.lig_pos, b.lig_mask, sfp, vdw, ref)
+            scores = score_rows(b.lig_pos, b.lig_mask, sfp, vdw, ref,
+                                batch.lig_phorefp)
             return b.lig_pos, scores, traj
 
         if self.mesh is not None:
@@ -245,13 +249,32 @@ class FitEngine:
             # complex would retrace every dispatch)
             batch = batch.replace(names=(), meta=())
             ref = self._row_refs(group, self.n)
+            # NamedSharding requires rows % n_devices == 0; a final flush
+            # group or shape-bucket split can violate it, so pad rows by
+            # wrapping from the front and slice the pad back off after.
+            n_rows = batch.batch_size
+            pad = 0
+            if self.mesh is not None:
+                ndev = int(np.prod(self.mesh.devices.shape))
+                pad = (-n_rows) % ndev
+            if pad:
+                # modular tiling handles pad > n_rows (e.g. 3 poses on an
+                # 8-device mesh needs 5 pad rows)
+                fill = np.arange(pad) % n_rows
+                wrap_pad = lambda x: np.concatenate(
+                    [np.asarray(x), np.asarray(x)[fill]], axis=0
+                )
+                batch = jax.tree_util.tree_map(wrap_pad, batch)
+                ref = jax.tree_util.tree_map(wrap_pad, ref)
             first = shapes not in self._compiled
             with self.timers.phase("compile" if first else "denoise"):
                 run = self.compile_bucket(shapes)
                 self.key, sub = jax.random.split(self.key)
                 pos, scores, traj = run(self.variables, batch, ref, sub)
-                pos = np.asarray(jax.block_until_ready(pos))
-            scores = {k: np.asarray(v) for k, v in scores.items()}
+                pos = np.asarray(jax.block_until_ready(pos))[:n_rows]
+            scores = {k: np.asarray(v)[:n_rows] for k, v in scores.items()}
+            if traj is not None:
+                traj = np.asarray(traj)[:, :n_rows]
             for g, i in enumerate(idxs):
                 job = group[g]
                 rows = slice(g * self.n, (g + 1) * self.n)

@@ -70,7 +70,19 @@ def featurize_record(record: Dict, s: DatasetSettings) -> Optional[ComplexBatch]
     ).split(".")[0]
     desc = record["ligand_description"]
     try:
-        if os.path.exists(str(desc)):
+        pose_idx = record.get("pose_index")
+        if pose_idx is not None and (isinstance(pose_idx, float) and np.isnan(pose_idx)):
+            pose_idx = None  # pandas NaN for rows without the column
+        if os.path.exists(str(desc)) and pose_idx is not None:
+            # multi-pose SDF (e.g. AncPhore mapping_process outputs, 40 poses
+            # per complex sitting AT the pharmacophore): pick one pose as the
+            # clean training conformation
+            from ..chem import parse_sdf
+
+            mol = parse_sdf(str(desc))[int(pose_idx)]
+            if s.remove_hs:
+                mol = mol.remove_hs()
+        elif os.path.exists(str(desc)):
             mol = read_molecule(str(desc), remove_hs=s.remove_hs)
         else:
             mol = mol_from_smiles(str(desc))

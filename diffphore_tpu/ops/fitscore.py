@@ -130,11 +130,19 @@ def fitscore(
     percent_coeff: float = -1.0,
     anchor_coeff: float = -1.0,
     combine: str = "max",
+    count_fp: jnp.ndarray | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Score poses against a reference pharmacophore. Fully batched/jittable.
 
     Returns a dict with per-pose arrays: V_db, V_ref, V_overlap, match_pct,
     V_exOverlap, anchor_pct, ov_pct, ex_pct, fitness, phscore1..phscore4.
+
+    ``count_fp``: fingerprint used for the fishing score's N_db feature
+    count.  The golden-file decode (PhScore1 * n/(N_db+N_ref-n)) was
+    validated against reference-SMARTS perception counts, while the pipeline
+    scores with the aromatic-N-augmented calibration fingerprint - pass the
+    reference-SMARTS ``lig_phorefp`` here so the emitted column -5 keeps the
+    decoded contract exactly.  Defaults to ``lig_phorefp`` (the scoring fp).
     """
     feat_mask = ref.mask & ~ref.is_ex
     ex_mask = ref.mask & ref.is_ex
@@ -205,7 +213,8 @@ def fitscore(
     # from the golden files as PhScore1 * Tanimoto over feature counts,
     # n / (N_db + N_ref - n) - e.g. STK674854 pose 0: 0.241217 * 2/(18+5-2)
     # = 0.022973, matching the committed column exactly
-    n_db = (lig_phorefp * lig_mask[..., None]).sum(axis=(-2, -1))
+    n_count_fp = lig_phorefp if count_fp is None else count_fp
+    n_db = (n_count_fp * lig_mask[..., None]).sum(axis=(-2, -1))
     fishing = phscore(*PHSCORE_COEFFS[1]) * n_matched / jnp.maximum(
         n_db + n_ref - n_matched, 1.0)
     out = {

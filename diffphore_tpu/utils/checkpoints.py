@@ -30,9 +30,38 @@ def save_variables(variables: Any, path: str) -> None:
         f.write(serialization.to_bytes(variables))
 
 
+def _migrate_fc_params(node: Any) -> Any:
+    """Checkpoint-format shim: the channelwise DenseTPConv edge-MLP was
+    refactored from a nested ``fc`` MLP submodule (Dense_0/Dense_1) to
+    explicit ``fc_w1/fc_b1/fc_w2/fc_b2`` params; rename old-format keys in
+    place so pre-refactor checkpoints keep restoring."""
+    if not isinstance(node, dict):
+        return node
+    out = {}
+    for k, v in node.items():
+        if (
+            k == "fc"
+            and isinstance(v, dict)
+            and "Dense_0" in v
+            and "fc_w1" not in node
+        ):
+            out["fc_w1"] = v["Dense_0"].get("kernel")
+            out["fc_b1"] = v["Dense_0"].get("bias")
+            out["fc_w2"] = v["Dense_1"].get("kernel")
+            out["fc_b2"] = v["Dense_1"].get("bias")
+        else:
+            out[k] = _migrate_fc_params(v)
+    return out
+
+
 def load_variables(template: Any, path: str) -> Any:
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        raw = f.read()
+    try:
+        return serialization.from_bytes(template, raw)
+    except (KeyError, ValueError):
+        state = serialization.msgpack_restore(raw)
+        return serialization.from_state_dict(template, _migrate_fc_params(state))
 
 
 def save_config_yaml(cfg: ScoreModelConfig, model_dir: str, extra: Optional[Dict] = None) -> str:

@@ -139,3 +139,36 @@ def test_early_stop_patience(train_csv, tmp_path):
     _, train = _read_metrics(run_dir)
     # stopped long before 40 epochs: first round sets best, second triggers
     assert len(train) <= 8, len(train)
+
+
+def test_checkpoint_fc_migration(tmp_path):
+    """Pre-refactor checkpoints stored the channelwise edge-MLP as a nested
+    `fc` MLP submodule (Dense_0/Dense_1); load_variables must rename those to
+    the explicit fc_w1/fc_b1/fc_w2/fc_b2 params."""
+    import numpy as np
+    from flax import serialization
+
+    from diffphore_tpu.utils import checkpoints
+
+    w1, b1 = np.ones((4, 8), np.float32), np.zeros(8, np.float32)
+    w2, b2 = np.full((8, 3), 2.0, np.float32), np.ones(3, np.float32)
+    old = {"params": {"conv": {"fc": {
+        "Dense_0": {"kernel": w1, "bias": b1},
+        "Dense_1": {"kernel": w2, "bias": b2},
+    }}}}
+    path = str(tmp_path / "old.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(old))
+    template = {"params": {"conv": {
+        "fc_w1": np.zeros_like(w1), "fc_b1": np.zeros_like(b1),
+        "fc_w2": np.zeros_like(w2), "fc_b2": np.zeros_like(b2),
+    }}}
+    out = checkpoints.load_variables(template, path)
+    np.testing.assert_array_equal(out["params"]["conv"]["fc_w1"], w1)
+    np.testing.assert_array_equal(out["params"]["conv"]["fc_b2"], b2)
+    # new-format checkpoints still round-trip unchanged
+    new_path = str(tmp_path / "new.msgpack")
+    checkpoints.save_variables(template, new_path)
+    out2 = checkpoints.load_variables(template, new_path)
+    np.testing.assert_array_equal(out2["params"]["conv"]["fc_w2"],
+                                  template["params"]["conv"]["fc_w2"])
