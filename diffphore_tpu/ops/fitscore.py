@@ -33,7 +33,18 @@ poses).  Measured Spearman rank correlation vs AncPhore's PhScore1:
   sum           reference-SMARTS fp         0.73 mean        -0.33
   max           reference-SMARTS fp         0.82 mean         0.06
   max           scoring_phore_fp            0.81 mean         0.75  <- default
+  sum           scoring_phore_fp            0.80 mean         0.30
+  greedy 1:1    scoring_phore_fp            0.80 mean         0.64
+  Hungarian 1:1 scoring_phore_fp            0.80 mean         0.64
   (scoring_phore_fp = SMARTS fp + aromatic-N donors, chem/pharmacophore_rules)
+
+The round-3 A/B (analysis/assignment_ab.py) settles the open question from
+round 2: a true 1:1 *assignment* scorer - exact Hungarian and the greedy
+approximation give identical rankings - is strictly WORSE than "max" on both
+fidelity axes (0.80/0.64 vs 0.81/0.75).  AncPhore's n_mapped<=n_ref mapping
+is therefore per-reference-feature best-match (what "max" computes), not a
+globally exclusive assignment; "max" remains the default and the scorer
+family search is closed.
 
 "max" keeps only the best-matching ligand feature per reference feature,
 which both bounds V_overlap by V_ref (so large feature-rich ligands cannot
