@@ -32,3 +32,19 @@ if "jax" in sys.modules:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the slow tier's wall time is dominated by
+# recompiling the same sharded train/eval steps (~7 distinct multi-minute
+# CPU compiles in test_mesh.py alone).  The cache is keyed by HLO hash, so it
+# is always safe; re-runs of the suite skip every unchanged compile.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/diffphore_tpu/jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+if "jax" in sys.modules:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
