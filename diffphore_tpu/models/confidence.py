@@ -63,7 +63,7 @@ class ConfidenceModel(nn.Module):
             auto_phorefp=cfg.auto_phorefp, use_att=cfg.use_att,
             trioformer_layer=cfg.trioformer_layer,
             compute_dtype=cfg.compute_dtype, tp_mode=cfg.tp_mode,
-            name="encoder",
+            phore_knn=cfg.phore_knn, name="encoder",
         )
         lig_attr, _ = encoder(batch, sigma_emb, deterministic=deterministic,
                               use_running_average=use_running_average)

@@ -24,7 +24,7 @@ from ..chem.features import LIG_FEATURE_DIMS
 from ..data.phore import NUM_PHORETYPE, PHORE_FEATURE_DIMS
 from ..ops.geometry import angle_between
 from ..ops.sh import spherical_harmonics_lmax2
-from .layers import CategoricalEncoder, DenseTPConv, GaussianSmearing, MLP
+from .layers import CategoricalEncoder, DenseTPConv, GaussianSmearing, MLP, SplitEdgeAttr
 
 
 def _irrep_seq(ns: int, nv: int, second_order: bool):
@@ -80,6 +80,9 @@ class LigPhoreEncoder(nn.Module):
     compute_dtype: str = "float32"
     tp_mode: str = "fully_connected"
     use_pallas_fused: bool = False
+    # compact the (P, P) phore-phore grid to K nearest masked neighbors per
+    # receiver (see ScoreModelConfig.phore_knn); 0 = dense
+    phore_knn: int = 0
 
     @property
     def irrep_seq(self):
@@ -145,8 +148,25 @@ class LigPhoreEncoder(nn.Module):
         p_vec = batch.phore_pos[:, None, :, :] - batch.phore_pos[:, :, None, :]
         p_d = jnp.linalg.norm(p_vec, axis=-1)
         p_pair_mask = batch.phore_edge_mask & phore_mask[:, :, None] & phore_mask[:, None, :]
+        # KNN compaction: the phore topology is sparse (reference
+        # get_phore_graph radius rule for EX nodes), so gather each
+        # receiver's K nearest masked senders and run every phore-phore
+        # edge tensor on a (P, K) grid instead of (P, P).  The phore is
+        # diffusion-invariant, so XLA hoists the top_k/gathers out of the
+        # sampler's lax.scan.  Exact (same edge set) when K >= max
+        # in-degree; otherwise the farthest neighbors drop first.
+        phore_nbr = None
+        if 0 < self.phore_knn < P:
+            sel = jnp.where(p_pair_mask, p_d, jnp.inf)
+            _, nbr = jax.lax.top_k(-sel, self.phore_knn)  # (B, P, K)
+            bidx = jnp.arange(B)[:, None, None]
+            phore_nbr = (bidx, nbr)
+            p_pair_mask = jnp.take_along_axis(p_pair_mask, nbr, axis=2)
+            p_vec = batch.phore_pos[bidx, nbr] - batch.phore_pos[:, :, None, :]
+            p_d = jnp.take_along_axis(p_d, nbr, axis=2)
+        M_p = p_d.shape[-1]  # P (dense) or K (compacted)
         p_attr = jnp.concatenate(
-            [jnp.broadcast_to(phore_sigma[:, :, None, :], (B, P, P, self.sigma_embed_dim)),
+            [jnp.broadcast_to(phore_sigma[:, :, None, :], (B, P, M_p, self.sigma_embed_dim)),
              phore_dist_exp(p_d)], -1)
         phore_edge_attr = MLP(ns, ns, self.dropout, name="phore_edge_embedding")(
             p_attr, deterministic=deterministic)
@@ -185,11 +205,13 @@ class LigPhoreEncoder(nn.Module):
             phore_sc = phore_node_attr[..., :ns]
             kw = dict(deterministic=deterministic, use_running_average=use_running_average)
 
+            # Edge attrs ride as SplitEdgeAttr: the receiver/sender scalar
+            # blocks stay node-level (part order matches the reference's
+            # concat([edge_attr, recv_scalars, send_scalars]), so fc_w1 row
+            # slices - and checkpoints - are unchanged).
             # ligand <- ligand
             lig_edge_attr_ = [
-                jnp.concatenate([e,
-                                 jnp.broadcast_to(lig_sc[:, :, None, :], (B, A, A, ns)),
-                                 jnp.broadcast_to(lig_sc[:, None, :, :], (B, A, A, ns))], -1)
+                SplitEdgeAttr((e, lig_sc, lig_sc), ("e", "r", "s"))
                 for e in lig_edge_attr
             ]
             lig_intra = conv("lig_conv", l)(
@@ -197,10 +219,8 @@ class LigPhoreEncoder(nn.Module):
                 [bond_mask, radius_mask], receiver_mask=lig_mask, **kw)
 
             # ligand <- phore (and norm channel)
-            cross_attr_ = jnp.concatenate(
-                [cross_attr,
-                 jnp.broadcast_to(lig_sc[:, :, None, :], (B, A, P, ns)),
-                 jnp.broadcast_to(phore_sc[:, None, :, :], (B, A, P, ns))], -1)
+            cross_attr_ = SplitEdgeAttr(
+                (cross_attr, lig_sc, phore_sc), ("e", "r", "s"))
             lig_inter = conv("phore_to_lig_conv", l)(
                 phore_node_attr, cross_attr_, cross_sh, cross_mask,
                 receiver_mask=lig_mask, **kw)
@@ -212,15 +232,24 @@ class LigPhoreEncoder(nn.Module):
 
             phore_intra = phore_inter = phore_inter_norm = 0.0
             if l != self.num_conv_layers - 1:
-                p_attr_ = jnp.concatenate(
-                    [phore_edge_attr,
-                     jnp.broadcast_to(phore_sc[:, :, None, :], (B, P, P, ns)),
-                     jnp.broadcast_to(phore_sc[:, None, :, :], (B, P, P, ns))], -1)
+                if phore_nbr is None:
+                    send_sc = phore_sc
+                    phore_sender = phore_node_attr
+                else:
+                    bidx, nbr = phore_nbr
+                    send_sc = phore_sc[bidx, nbr]            # (B, P, K, ns)
+                    phore_sender = phore_node_attr[bidx, nbr]
+                p_attr_ = SplitEdgeAttr(
+                    (phore_edge_attr, phore_sc, send_sc), ("e", "r", "s"))
                 phore_intra = conv("phore_conv", l)(
-                    phore_node_attr, p_attr_, phore_edge_sh, p_pair_mask,
+                    phore_sender, p_attr_, phore_edge_sh, p_pair_mask,
                     receiver_mask=phore_mask, **kw)
-                # phore <- ligand: transpose the cross grids
-                cross_attr_T = jnp.swapaxes(cross_attr_, 1, 2)
+                # phore <- ligand: transpose the cross grids (part order in
+                # the transposed concat keeps lig_sc before phore_sc, so the
+                # axis tags swap rather than the parts)
+                cross_attr_T = SplitEdgeAttr(
+                    (jnp.swapaxes(cross_attr, 1, 2), lig_sc, phore_sc),
+                    ("e", "s", "r"))
                 phore_inter = conv("lig_to_phore_conv", l)(
                     lig_node_attr, cross_attr_T, jnp.swapaxes(cross_sh, 1, 2),
                     jnp.swapaxes(cross_mask, 1, 2), receiver_mask=phore_mask, **kw)

@@ -11,7 +11,7 @@ Design notes vs the reference (score_model_phore.py):
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +19,69 @@ from flax import linen as nn
 
 from ..ops.irreps import parse
 from ..ops.tensor_product import channelwise_tp, fully_connected_tp
+
+
+class SplitEdgeAttr(NamedTuple):
+    """Edge attributes as unconcatenated parts.
+
+    The encoder's edge features are ``concat([pair_attr, recv_scalars,
+    send_scalars])`` where the scalar parts are node-level tensors broadcast
+    over the (N, M) grid - materializing that concat (and the broadcasts)
+    costs 3x the pair tensor's HBM traffic per conv per layer.  Since the
+    edge MLP's first layer is linear, ``concat(parts) @ W1`` splits into
+    per-part matmuls against row slices of W1, with the node-level products
+    computed at node rank and broadcast-added into the (cheap, fused)
+    ReLU - the wide edge-level concat never exists.  Parameter shapes and
+    slice order match the concatenated form exactly, so checkpoints are
+    unaffected.
+
+    ``axes`` tags each part: 'e' edge-level (..., N, M, E_i), 'r'
+    receiver-level (..., N, E_i), 's' sender-level (..., M, E_i) - or
+    already-gathered per-receiver senders (..., N, M, E_i), distinguished
+    by rank.
+    """
+
+    parts: Tuple[jnp.ndarray, ...]
+    axes: Tuple[str, ...]
+
+    @property
+    def num_features(self) -> int:
+        return sum(p.shape[-1] for p in self.parts)
+
+    def edge_ndim(self) -> int:
+        for p, ax in zip(self.parts, self.axes):
+            if ax == "e":
+                return p.ndim
+        raise ValueError("SplitEdgeAttr needs at least one edge-level part")
+
+    def matmul(self, w1: jnp.ndarray, b1: jnp.ndarray) -> jnp.ndarray:
+        """concat(parts) @ w1 + b1 without materializing the concat."""
+        nd = self.edge_ndim()
+        out = b1
+        off = 0
+        for p, ax in zip(self.parts, self.axes):
+            t = p.astype(w1.dtype) @ w1[off : off + p.shape[-1]]
+            off += p.shape[-1]
+            if ax == "r":
+                t = t[..., :, None, :]
+            elif ax == "s" and t.ndim + 1 == nd:
+                t = t[..., None, :, :]
+            out = out + t
+        return out
+
+    def dense(self) -> jnp.ndarray:
+        """Materialized concatenated form (fallback for paths that need it)."""
+        nd = self.edge_ndim()
+        grid = next(p for p, ax in zip(self.parts, self.axes) if ax == "e")
+        N, M = grid.shape[-3], grid.shape[-2]
+        outs = []
+        for p, ax in zip(self.parts, self.axes):
+            if ax == "r":
+                p = jnp.broadcast_to(p[..., :, None, :], p.shape[:-1] + (M, p.shape[-1]))
+            elif ax == "s" and p.ndim + 1 == nd:
+                p = jnp.broadcast_to(p[..., None, :, :], p.shape[:-2] + (N, M, p.shape[-1]))
+            outs.append(p)
+        return jnp.concatenate(outs, axis=-1)
 
 
 class GaussianSmearing(nn.Module):
@@ -201,14 +264,23 @@ class DenseTPConv(nn.Module):
         the geometric sh but have distinct attrs/masks; pass lists for
         edge_attr/edge_mask.  The TP is linear in the edge weights, so the
         channels are fused into a single contraction; the masked mean counts
-        every channel edge like the reference's scatter-mean."""
+        every channel edge like the reference's scatter-mean.
+
+        ``sender_feat`` may alternatively carry per-receiver gathered
+        senders, shape (..., N, M, dim_in) - i.e. the same rank as
+        ``edge_sh`` - for KNN-compacted grids where sender M indexes each
+        receiver's own neighbor list rather than a global node set."""
         channelwise = self.tp_mode == "channelwise"
+        gathered = sender_feat.ndim == edge_sh.ndim
         tp = (channelwise_tp if channelwise else fully_connected_tp)(
             self.in_irreps, self.sh_irreps, self.out_irreps)
         hidden = self.hidden_features or self.n_edge_features
         cdt = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
 
-        attrs = edge_attr if isinstance(edge_attr, (list, tuple)) else [edge_attr]
+        if isinstance(edge_attr, SplitEdgeAttr) or not isinstance(edge_attr, (list, tuple)):
+            attrs = [edge_attr]
+        else:
+            attrs = edge_attr
         masks = edge_mask if isinstance(edge_mask, (list, tuple)) else [edge_mask]
         counts = 0.0
         for m in masks:
@@ -218,7 +290,8 @@ class DenseTPConv(nn.Module):
         if channelwise:
             # explicit edge-MLP params: the SAME tensors drive the XLA path
             # and the fused pallas kernel (which computes the MLP in VMEM)
-            E = attrs[0].shape[-1]
+            a0 = attrs[0]
+            E = a0.num_features if isinstance(a0, SplitEdgeAttr) else a0.shape[-1]
             w1 = self.param("fc_w1", nn.initializers.lecun_normal(), (E, hidden))
             b1 = self.param("fc_b1", nn.initializers.zeros, (hidden,))
             w2 = self.param("fc_w2", nn.initializers.lecun_normal(),
@@ -228,6 +301,7 @@ class DenseTPConv(nn.Module):
 
             use_fused = (
                 self.use_pallas_fused
+                and not gathered  # kernel expects a global sender set
                 and deterministic  # kernel has no dropout / custom VJP
                 and jax.default_backend() == "tpu"
                 and all(ir.l <= 1 for _, ir in tp.irreps_out.items)
@@ -240,7 +314,9 @@ class DenseTPConv(nn.Module):
                 padded = tp_aggregate_fused(
                     tp, sender_feat.astype(jnp.float32),
                     edge_sh.astype(jnp.float32),
-                    tuple(a.astype(jnp.float32) for a in attrs),
+                    tuple(
+                        (a.dense() if isinstance(a, SplitEdgeAttr) else a)
+                        .astype(jnp.float32) for a in attrs),
                     tuple(masks), w1, b1, w2, b2,
                 )
                 blocks = blocks_from_padded(tp, padded)
@@ -249,8 +325,11 @@ class DenseTPConv(nn.Module):
                 w = 0.0
                 drop = nn.Dropout(self.dropout, deterministic=deterministic)
                 for attr, m in zip(attrs, masks):
-                    h = nn.relu(attr.astype(cd) @ w1.astype(cd) + b1.astype(cd))
-                    h = drop(h)
+                    if isinstance(attr, SplitEdgeAttr):
+                        pre = attr.matmul(w1.astype(cd), b1.astype(cd))
+                    else:
+                        pre = attr.astype(cd) @ w1.astype(cd) + b1.astype(cd)
+                    h = drop(nn.relu(pre))
                     wc = h @ w2.astype(cd) + b2.astype(cd)
                     w = w + wc * m[..., None]
                 # one einsum per path with the sender-sum folded in: never
@@ -263,8 +342,13 @@ class DenseTPConv(nn.Module):
             fc = MLP(hidden, tp.weight_numel, self.dropout, dtype=cdt, name="fc")
             w = 0.0
             for attr, m in zip(attrs, masks):
+                if isinstance(attr, SplitEdgeAttr):
+                    attr = attr.dense()
                 w = w + fc(attr, deterministic=deterministic) * m[..., None]
-            x = sender_feat[..., None, :, :]  # (..., 1, M, dim) over receivers
+            if gathered:
+                x = sender_feat  # already (..., N, M, dim)
+            else:
+                x = sender_feat[..., None, :, :]  # (..., 1, M, dim) over receivers
             if cdt is not None:
                 x = x.astype(cdt)
                 edge_sh = edge_sh.astype(cdt)

@@ -77,6 +77,16 @@ class ScoreModelConfig:
     # fused edge-MLP + TP-aggregate pallas kernel for deterministic
     # (inference) channelwise convs on TPU (ops/pallas/tp_fused.py)
     use_pallas_fused: bool = False
+    # compact the dense (P, P) phore-phore conv grid to each receiver's K
+    # nearest masked neighbors.  The phore-graph topology is sparse (real
+    # features fully connect only to each other; EX volumes connect within
+    # 5 A - reference get_phore_graph, process_pharmacophore.py:634-712), so
+    # on EX-heavy phores the dense grid wastes most of its HBM traffic: the
+    # sQC example phore is P=79 with max in-degree 18.  Exact (same edge
+    # set, reordered) whenever K >= the graph's max in-degree; larger
+    # degrees degrade gracefully by dropping the farthest neighbors.
+    # 0 disables (full dense grid).
+    phore_knn: int = 24
     # diffusion schedule
     tr_sigma_min: float = 0.1
     tr_sigma_max: float = 5.0
@@ -141,7 +151,8 @@ class ScoreModel(nn.Module):
             auto_phorefp=cfg.auto_phorefp, use_att=cfg.use_att,
             trioformer_layer=cfg.trioformer_layer,
             compute_dtype=cfg.compute_dtype, tp_mode=cfg.tp_mode,
-            use_pallas_fused=cfg.use_pallas_fused, name="encoder",
+            use_pallas_fused=cfg.use_pallas_fused, phore_knn=cfg.phore_knn,
+            name="encoder",
         )
         lig_attr, _ = encoder(
             batch, sigma_emb, deterministic=deterministic,

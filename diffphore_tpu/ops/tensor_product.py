@@ -170,11 +170,14 @@ class ChannelwiseTP:
         folded in.
 
         Args:
-          x:  (B, M, dim_in) sender features (NOT broadcast over receivers).
+          x:  (B, M, dim_in) sender features (NOT broadcast over receivers),
+              or (B, N, M, dim_in) per-receiver gathered senders for
+              KNN-compacted grids (M = neighbor slot of receiver N).
           sh: (B, N, M, sh_dim);  weights: (B, N, M, weight_numel), pre-masked.
         Returns:
           list aligned with irreps_out of (B, N, fan_in, 2l+1) sums over M.
         """
+        gathered = x.ndim == sh.ndim
         in_slices = self.irreps_in.slices()
         sh_slices = self.irreps_sh.slices()
         blocks: List[List[jnp.ndarray]] = [[] for _ in self.irreps_out.items]
@@ -185,7 +188,8 @@ class ChannelwiseTP:
             wb = weights[..., p.w_slice[0]:p.w_slice[1]]
             cg = jnp.asarray(wigner_3j(p.l_in, p.l_sh, p.l_out), dtype=x.dtype)
             contrib = p.alpha * jnp.einsum(
-                "bmui,bnmj,ijk,bnmu->bnuk", xb, shb, cg, wb,
+                "bnmui,bnmj,ijk,bnmu->bnuk" if gathered
+                else "bmui,bnmj,ijk,bnmu->bnuk", xb, shb, cg, wb,
                 preferred_element_type=jnp.float32,
             )
             blocks[p.i_out].append(contrib)
