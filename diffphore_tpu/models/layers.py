@@ -35,6 +35,12 @@ class SplitEdgeAttr(NamedTuple):
     slice order match the concatenated form exactly, so checkpoints are
     unaffected.
 
+    Measured on TPU v5e (sQC complex, 20-step sampler, run-to-run noise
+    ~+-5%): XLA-counted bytes drop 11.1->10.6 GB per 40-pose forward and
+    the split form is reliably ~5% faster at screen-size dispatches
+    (>=96 rows: 233 vs 222 poses/s at 192 rows); at <=64 rows the two
+    forms are at parity within noise.
+
     ``axes`` tags each part: 'e' edge-level (..., N, M, E_i), 'r'
     receiver-level (..., N, E_i), 's' sender-level (..., M, E_i) - or
     already-gathered per-receiver senders (..., N, M, E_i), distinguished

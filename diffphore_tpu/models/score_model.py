@@ -81,12 +81,19 @@ class ScoreModelConfig:
     # nearest masked neighbors.  The phore-graph topology is sparse (real
     # features fully connect only to each other; EX volumes connect within
     # 5 A - reference get_phore_graph, process_pharmacophore.py:634-712), so
-    # on EX-heavy phores the dense grid wastes most of its HBM traffic: the
-    # sQC example phore is P=79 with max in-degree 18.  Exact (same edge
-    # set, reordered) whenever K >= the graph's max in-degree; larger
-    # degrees degrade gracefully by dropping the farthest neighbors.
-    # 0 disables (full dense grid).
-    phore_knn: int = 24
+    # on EX-heavy phores the dense grid wastes most of its nominal HBM
+    # traffic: the sQC example phore is P=79 with max in-degree 18.  Exact
+    # (same edge set, reordered) whenever K >= the graph's max in-degree;
+    # larger degrees degrade gracefully by dropping the farthest neighbors.
+    # MEASURED NEGATIVE on TPU v5e at sQC shapes: K=24 cut XLA-counted
+    # bytes 13.8->11.1 GB per 40-pose forward but ran 1.44x SLOWER e2e
+    # (234 vs 338 poses/s at 24 poses) - the per-step take_along_axis
+    # gathers (phore node attrs depend on the step's sigma embedding, so
+    # nothing hoists out of the sampler scan) cost more than the dense-grid
+    # rows they avoid, mirroring the pallas-kernel findings: XLA's fused
+    # dense formulation wins at these graph sizes.  Default 0 (dense);
+    # the lever remains for much larger P where the P^2 term dominates.
+    phore_knn: int = 0
     # diffusion schedule
     tr_sigma_min: float = 0.1
     tr_sigma_max: float = 5.0
