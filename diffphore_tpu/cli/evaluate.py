@@ -40,6 +40,11 @@ def parse_args(argv=None):
     p.add_argument("--model_dir", type=str, required=False, default=None)
     p.add_argument("--ckpt", type=str, default=checkpoints.BEST_EMA_MODEL)
     p.add_argument("--allow_random_init", type=lambda v: str(v).lower() in ("1", "true", "t", "yes"), default=False)
+    # optional trained confidence model (reference evaluate.py:66-67):
+    # adds confidence.npy + rankbyConfidence_* metric variants
+    p.add_argument("--confidence_model_dir", type=str, default=None)
+    p.add_argument("--confidence_ckpt", type=str,
+                   default=checkpoints.BEST_EMA_MODEL)
     p.add_argument("--sample_per_complex", type=int, default=40)
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--limit_complexes", type=int, default=0)
@@ -77,14 +82,17 @@ def main(argv=None) -> None:
 
     args.model_dir = args.model_dir
     cfg, variables = load_model(args)
+    from ..cli.inference import load_confidence_model
+
     engine = FitEngine(
         cfg, variables, samples_per_complex=args.sample_per_complex,
         settings=SamplerSettings(inference_steps=args.inference_steps),
-        seed=args.seed,
+        seed=args.seed, confidence=load_confidence_model(args),
     )
 
     names: List[str] = []
     all_rmsd, all_fit, all_centroid, all_ex, all_self, run_times = [], [], [], [], [], []
+    all_conf: List = []
     for i in range(len(dataset)):
         batch = dataset[i]
         meta = batch.meta[0]
@@ -95,7 +103,7 @@ def main(argv=None) -> None:
             engine.calibrate_batch_stats(batch)
         t0 = time.time()
         try:
-            poses, fits = _run_batch_inference(engine, batch)
+            poses, fits, conf = _run_batch_inference(engine, batch)
         except Exception as e:  # noqa: BLE001
             log_warn(f"{batch.names[0]}: sampling failed ({e}), skipped")
             continue
@@ -122,6 +130,8 @@ def main(argv=None) -> None:
         names.append(batch.names[0])
         all_rmsd.append(rmsd)
         all_fit.append(fits)
+        if conf is not None:
+            all_conf.append(conf)
         all_centroid.append(validity["centroid"])
         all_ex.append(validity["min_ex"])
         all_self.append(validity["min_self"])
@@ -135,12 +145,15 @@ def main(argv=None) -> None:
     cent = np.asarray(all_centroid)
     exd = np.asarray(all_ex)
     selfd = np.asarray(all_self)
+    conf_arr = np.asarray(all_conf) if len(all_conf) == len(names) else None
     for fname, arr in (
         ("rmsds.npy", rmsds), ("fitscore.npy", fits),
         ("centroid_distances.npy", cent), ("min_ex_cross_distances.npy", exd),
         ("min_self_distances.npy", selfd), ("run_times.npy", np.asarray(run_times)),
     ):
         np.save(os.path.join(args.out_dir, fname), arr)
+    if conf_arr is not None:
+        np.save(os.path.join(args.out_dir, "confidence.npy"), conf_arr)
 
     no_overlap_idx = None
     if args.test_no_overlap and os.path.exists(args.test_no_overlap):
@@ -149,7 +162,8 @@ def main(argv=None) -> None:
             [i for i, n in enumerate(names) if any(k in n for k in keep)], int
         )
     metrics = evaluate_results(
-        rmsds, fits, cent, exd, selfd, np.asarray(run_times), no_overlap_idx
+        rmsds, fits, cent, exd, selfd, np.asarray(run_times), no_overlap_idx,
+        confidence=conf_arr,
     )
     out_path = os.path.join(args.out_dir, "performance_metrics.json")
     json.dump(metrics, open(out_path, "w"), indent=4)

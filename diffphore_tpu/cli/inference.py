@@ -56,6 +56,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--ckpt", type=str, default=checkpoints.BEST_EMA_MODEL)
     p.add_argument("--allow_random_init", type=str2bool, default=False,
                    help="Run with random weights when no checkpoint exists (smoke tests)")
+    # optional trained confidence model for pose ranking (reference
+    # evaluate.py:66-67 flags; sampling.py:153-168 scores final poses)
+    p.add_argument("--confidence_model_dir", type=str, default=None,
+                   help="Directory with a --confidence_mode run "
+                        "(model_parameters.yml + checkpoint); poses are "
+                        "ranked by its predicted fitness when set")
+    p.add_argument("--confidence_ckpt", type=str,
+                   default=checkpoints.BEST_EMA_MODEL)
     # sampling
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--actual_steps", type=int, default=None)
@@ -176,21 +184,29 @@ def _write_complex_outputs(args, job, result, run_time: float) -> None:
     ref_id = name.split("__")[0]
     write_score_file(os.path.join(proc_dir, f"{name}.score"), name, ref_id,
                      result["scores"])
-    order = np.argsort(result["fitscore"])[::-1]
+    # poses rank by the trained confidence head when one is attached
+    # (reference semantics: the optional confidence_model supersedes the
+    # fitness for pose ordering), by fitness otherwise
+    rank_key = np.asarray(result.get("confidence", result["fitscore"]))
+    order = np.argsort(rank_key)[::-1]
+    props = {"fitscore": [f"{result['fitscore'][i]:.6g}" for i in order]}
+    if "confidence" in result:
+        props["confidence"] = [f"{result['confidence'][i]:.6g}" for i in order]
     write_sdf(
         job.mol, docked_file, multi_coords=[result["poses"][i] for i in order],
-        name=name, marker="rank",
-        properties={"fitscore": [f"{result['fitscore'][i]:.6g}" for i in order]},
+        name=name, marker="rank", properties=props,
     )
     if "trajectory" in result:
-        best = int(np.argmax(result["fitscore"]))
+        best = int(np.argmax(rank_key))
         steps = [result["trajectory"][s][best] for s in
                  range(result["trajectory"].shape[0])]
         write_sdf(job.mol,
                   os.path.join(proc_dir, f"{name}_visualisation.sdf"),
                   multi_coords=steps, name=name, marker="step")
-    json.dump({"name": name, "fitscore": result["fitscore"], "run_time": run_time},
-              open(log_file, "w"), indent=4)
+    log = {"name": name, "fitscore": result["fitscore"], "run_time": run_time}
+    if "confidence" in result:
+        log["confidence"] = result["confidence"]
+    json.dump(log, open(log_file, "w"), indent=4)
 
 
 def fit(args, engine: FitEngine, records: List[Dict], result_file: str) -> Dict:
@@ -372,6 +388,40 @@ def load_model(args):
     return cfg, variables
 
 
+def load_confidence_model(args):
+    """(ConfidenceModel, variables) from --confidence_model_dir, or None.
+
+    The directory is a --confidence_mode training run: model_parameters.yml
+    (the trunk config) + a checkpoint (reference evaluate.py:66-67 flag
+    pair)."""
+    if not getattr(args, "confidence_model_dir", None):
+        return None
+    import jax
+
+    from ..chem.embed import embed_molecule
+    from ..chem.smiles import mol_from_smiles
+    from ..data.graphs import build_complex
+    from ..data.phore import Phore, PhoreFeature
+    from ..models.confidence import ConfidenceModel
+
+    cfg = checkpoints.load_config_yaml(args.confidence_model_dir)
+    model = ConfidenceModel(cfg)
+    dummy_mol = mol_from_smiles("CCO")
+    embed_molecule(dummy_mol)
+    dummy_phore = Phore("d", [
+        PhoreFeature("HA", 1.0, 1.2, 1, (0.0, 0.0, 0.0), False, (0, 0, 0)),
+        PhoreFeature("HD", 1.0, 1.2, 1, (1.0, 0.0, 0.0), False, (0, 0, 0)),
+    ], [])
+    dummy = build_complex("d", dummy_mol, dummy_phore)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), dummy)
+    ckpt_path = os.path.join(args.confidence_model_dir, args.confidence_ckpt)
+    if not os.path.exists(ckpt_path):
+        raise FileNotFoundError(f"Confidence checkpoint not found at `{ckpt_path}`")
+    log_info(f"Loading confidence checkpoint `{ckpt_path}`")
+    variables = checkpoints.load_variables(variables, ckpt_path)
+    return model, variables
+
+
 def main(argv=None) -> None:
     args = parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
@@ -425,7 +475,7 @@ def main(argv=None) -> None:
         engine = FitEngine(cfg, variables, args.sample_per_complex, settings,
                            fitness=args.fitness, seed=args.seed,
                            save_trajectory=args.save_visualisation,
-                           mesh=mesh)
+                           mesh=mesh, confidence=load_confidence_model(args))
         log_info(f"Process files: {os.path.join(args.out_dir, 'mapping_process/')}")
         log_info(f"Ranked poses:  {os.path.join(args.out_dir, 'ranked_poses/')}")
         if args.profile_dir:

@@ -61,6 +61,7 @@ class FitEngine:
         use_running_average: bool = True,
         save_trajectory: bool = False,
         mesh=None,
+        confidence=None,
     ):
         self.cfg = cfg
         self.variables = variables
@@ -76,6 +77,12 @@ class FitEngine:
         #: also return the per-step pose trajectory (reference
         #: --save_visualisation / keep_update, inference.py + sampling.py)
         self.save_trajectory = save_trajectory
+        #: optional (ConfidenceModel, variables): score every final pose
+        #: with the trained confidence head at t=0 inside the same jitted
+        #: dispatch (reference sampling.py:153-168 scores final poses with
+        #: an optional confidence_model); results gain a "confidence" row
+        #: used for pose ranking when present
+        self.confidence = confidence
         self.timers = PhaseTimers()
         self._compiled: Dict[Tuple[int, int, int], callable] = {}
 
@@ -173,6 +180,7 @@ class FitEngine:
         settings, cfg, model = self.settings, self.cfg, self.model
         ura = self.use_running_average
         save_traj = self.save_trajectory
+        confidence = self.confidence
         # scoring uses the AncPhore-calibrated fingerprint; the fishing
         # score's N_db count keeps reference-SMARTS semantics via count_fp
         score_rows = jax.vmap(
@@ -204,6 +212,12 @@ class FitEngine:
             b, traj = out if save_traj else (out, None)
             scores = score_rows(b.lig_pos, b.lig_mask, sfp, vdw, ref,
                                 batch.lig_phorefp)
+            if confidence is not None:
+                conf_model, conf_vars = confidence
+                pred_fit, _, _ = conf_model.apply(
+                    conf_vars, b.replace(t=jnp.zeros_like(b.t)),
+                    use_running_average=True)
+                scores = {**scores, "confidence": pred_fit}
             return b.lig_pos, scores, traj
 
         if self.mesh is not None:
@@ -288,6 +302,8 @@ class FitEngine:
                     "fitscore": [float(x) for x in fit],
                     "scores": sc,
                 }
+                if "confidence" in sc:
+                    result["confidence"] = [float(x) for x in sc["confidence"]]
                 if traj is not None:
                     result["trajectory"] = (
                         np.asarray(traj)[:, rows, :n_atoms, :] + center

@@ -194,6 +194,13 @@ def parse_args(argv=None):
     p.add_argument("--confidence_mode", action="store_true")
     p.add_argument("--confidence_dropout", type=float, default=0.0)
     p.add_argument("--confidence_no_batchnorm", action="store_true")
+    p.add_argument("--confidence_label", type=str, default="fitness",
+                   choices=("fitness", "rmsd_lt2"),
+                   help="fitness: regress the analytic fitscore (reference "
+                        "intent); rmsd_lt2: DiffDock-style pose-correctness "
+                        "logit (RMSD<2 of the noised pose) - the useful "
+                        "ranking signal, since the analytic fitscore is "
+                        "computed exactly at inference anyway")
     p.add_argument("--by_total", action="store_true",
                    help="confidence: regress the total fitscore instead of "
                         "the ph/ex overlap pair")
@@ -274,7 +281,7 @@ def val_inference(engine_cfg, variables, val_dataset, args,
         except Exception as e:  # noqa: BLE001
             log_warn(f"val inference failed for {batch.names[0]}: {e}")
             continue
-        poses, fit = result
+        poses, fit, _ = result
         n_atoms = int(meta["n_atoms"])
         orig = np.asarray(meta["orig_pos"])[:n_atoms]
         r = [plain_rmsd(p[:n_atoms], orig) for p in poses]
@@ -319,7 +326,9 @@ def _run_batch_inference(engine, batch):
     pos, scores, _ = run(engine.variables, b.replace(names=(), meta=()), ref, sub)
     pos = np.asarray(pos)
     center = np.asarray(batch.orig_center[0])
-    return pos + center, np.asarray(scores["phscore1"]).tolist()
+    conf = (np.asarray(scores["confidence"]).tolist()
+            if "confidence" in scores else None)
+    return pos + center, np.asarray(scores["phscore1"]).tolist(), conf
 
 
 def _batch_affinity(batch) -> np.ndarray:
@@ -390,11 +399,14 @@ def train_tank(args) -> None:
         log_info(f"tank epoch {epoch}: loss={summary.get('loss', float('nan')):.4f} "
                  f"({summary['epoch_time']:.1f}s)")
         metrics_out.write(summary)
-        checkpoints.save_variables(
-            state, os.path.join(args.run_dir, checkpoints.LAST_MODEL))
+        if (epoch + 1) % max(args.ckpt_freq, 1) == 0 or epoch == args.n_epochs - 1:
+            checkpoints.save_variables(
+                state, os.path.join(args.run_dir, checkpoints.LAST_MODEL))
 
-        val_loss = summary.get("loss", np.inf)
-        if val_loader is not None:
+        val_loss = None if val_loader is not None else summary.get("loss", np.inf)
+        if val_loader is not None and (
+                (epoch + 1) % max(args.val_loss_freq, 1) == 0
+                or epoch == args.n_epochs - 1):
             vmeter = AverageMeter(["loss", "contact_loss", "affinity_loss"])
             for batch in val_loader:
                 vm = eval_jit(state.ema_variables,
@@ -407,7 +419,9 @@ def train_tank(args) -> None:
             metrics_out.write(vs)
             val_loss = vs.get("loss", np.inf)
             log_info(f"tank val: loss={val_loss:.4f}")
-        if val_loss < best_val - 1e-6:
+        if val_loss is None:
+            pass
+        elif val_loss < best_val - 1e-6:
             best_val = val_loss
             plateau = 0
             checkpoints.save_variables(
@@ -447,8 +461,10 @@ def train_confidence(args) -> None:
         model, example.replace(names=(), meta=()), seed=args.seed,
         lr=args.lr, weight_decay=args.w_decay)
     step_jit = jax.jit(make_confidence_train_step(
-        model, tx, VDW_TABLE, args.ema_rate, args.by_total))
-    eval_jit = jax.jit(make_confidence_eval_step(model, VDW_TABLE, args.by_total))
+        model, tx, VDW_TABLE, args.ema_rate, args.by_total,
+        args.confidence_label))
+    eval_jit = jax.jit(make_confidence_eval_step(
+        model, VDW_TABLE, args.by_total, args.confidence_label))
 
     if args.restart_dir:
         ckpt = os.path.join(args.restart_dir, args.model_ckpt)
@@ -458,6 +474,13 @@ def train_confidence(args) -> None:
             if args.restart_lr > 0:
                 state = set_learning_rate(state, tx, args.restart_lr)
 
+    checkpoints.save_config_yaml(cfg, args.run_dir, extra={
+        "mode": "confidence", "n_epochs": args.n_epochs,
+        "batch_size": args.batch_size, "lr": args.lr,
+        "ema_rate": args.ema_rate, "by_total": args.by_total,
+        "confidence_dropout": args.confidence_dropout,
+        "confidence_label": args.confidence_label,
+    })
     metrics_out = MetricsWriter(os.path.join(args.run_dir, "metrics.jsonl"))
     key = jax.random.PRNGKey(args.seed)
     best_val = np.inf
@@ -482,11 +505,19 @@ def train_confidence(args) -> None:
                  f"ph={summary.get('loss_ph', 0):.4f} ex={summary.get('loss_ex', 0):.4f} "
                  f"({summary['epoch_time']:.1f}s)")
         metrics_out.write(summary)
-        checkpoints.save_variables(
-            state, os.path.join(args.run_dir, checkpoints.LAST_MODEL))
+        # full-state pulls ride the remote-TPU tunnel: honor --ckpt_freq /
+        # --val_loss_freq exactly as the diffusion loop does (saving every
+        # epoch dominated wall time 100:1 on the tunneled chip)
+        if (epoch + 1) % max(args.ckpt_freq, 1) == 0 or epoch == args.n_epochs - 1:
+            checkpoints.save_variables(
+                state, os.path.join(args.run_dir, checkpoints.LAST_MODEL))
 
-        val_loss = summary.get("loss", np.inf)
-        if val_loader is not None:
+        # best/plateau tracking compares like with like: train loss only
+        # when no val set exists, val loss only on epochs where val ran
+        val_loss = None if val_loader is not None else summary.get("loss", np.inf)
+        if val_loader is not None and (
+                (epoch + 1) % max(args.val_loss_freq, 1) == 0
+                or epoch == args.n_epochs - 1):
             vmeter = AverageMeter(list(keys))
             for batch in val_loader:
                 key, sub = jax.random.split(key)
@@ -498,7 +529,9 @@ def train_confidence(args) -> None:
             metrics_out.write(vs)
             val_loss = vs.get("loss", np.inf)
             log_info(f"confidence val: loss={val_loss:.4f}")
-        if val_loss < best_val - 1e-6:
+        if val_loss is None:
+            pass
+        elif val_loss < best_val - 1e-6:
             best_val = val_loss
             plateau = 0
             checkpoints.save_variables(

@@ -56,16 +56,39 @@ def confidence_labels(batch, vdw_table: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.n
     return jax.vmap(one)(batch.lig_pos, batch.lig_mask, sfp, vdw, ref)
 
 
-def confidence_loss(preds, labels, by_total: bool = False):
-    """MSE over (fitscore, ph, ex) or total-only (reference by_total)."""
+def confidence_loss(preds, labels, by_total: bool = False,
+                    label_mode: str = "fitness"):
+    """MSE over (fitscore, ph, ex) or total-only (reference by_total).
+
+    ``label_mode='rmsd_lt2'``: the first label is the binary pose-correct
+    target (RMSD < 2 A of the noised pose) and the first head output is its
+    logit (sigmoid BCE), the DiffDock-style confidence objective; ph/ex
+    stay as auxiliary regressions.  Unlike the fitness label - which the
+    analytic scorer computes exactly at inference anyway - this target lets
+    the ranked pose be chosen by predicted *correctness*, which fitness
+    ranking approximates only loosely."""
     fit_p, ph_p, ex_p = preds
     fit_l, ph_l, ex_l = labels
     loss_ph = ((ph_p - ph_l) ** 2).mean()
     loss_ex = ((ex_p - ex_l) ** 2).mean()
-    loss_total = ((fit_p - fit_l) ** 2).mean()
-    loss = loss_total if by_total else loss_ph + loss_ex
+    if label_mode == "rmsd_lt2":
+        # sigmoid BCE on the logit, numerically stable form
+        loss_total = (jnp.maximum(fit_p, 0.0) - fit_p * fit_l
+                      + jnp.log1p(jnp.exp(-jnp.abs(fit_p)))).mean()
+        loss = loss_total + 0.1 * (loss_ph + loss_ex)
+    else:
+        loss_total = ((fit_p - fit_l) ** 2).mean()
+        loss = loss_total if by_total else loss_ph + loss_ex
     return {"loss": loss, "loss_ph": loss_ph, "loss_ex": loss_ex,
             "loss_total": loss_total}
+
+
+def pose_rmsd_to_clean(noised_pos, clean_pos, lig_mask) -> jnp.ndarray:
+    """Per-graph RMSD between the noised and clean pose (same frame, no
+    realignment - the pose ERROR is the quantity of interest)."""
+    d2 = ((noised_pos - clean_pos) ** 2).sum(-1)
+    m = lig_mask.astype(d2.dtype)
+    return jnp.sqrt((d2 * m).sum(-1) / jnp.maximum(m.sum(-1), 1.0))
 
 
 def create_confidence_train_state(
@@ -92,9 +115,11 @@ def make_confidence_train_step(
     vdw_table: jnp.ndarray,
     ema_decay: float = 0.999,
     by_total: bool = False,
+    label_mode: str = "fitness",
 ):
     """(state, batch, key) -> (state, metrics); the forward sees the noised
-    pose and regresses its analytic fitness."""
+    pose and regresses its analytic fitness (label_mode='fitness') or the
+    binary RMSD<2 pose-correctness target (label_mode='rmsd_lt2')."""
     schedule = model.cfg.sigma_schedule
 
     def step(state: TrainState, batch, key):
@@ -102,6 +127,10 @@ def make_confidence_train_step(
         noised, _ = apply_noise(batch, k_noise, schedule,
                                 no_torsion=model.cfg.no_torsion)
         labels = confidence_labels(noised, vdw_table)
+        if label_mode == "rmsd_lt2":
+            rmsd = pose_rmsd_to_clean(noised.lig_pos, batch.lig_pos,
+                                      batch.lig_mask)
+            labels = ((rmsd < 2.0).astype(jnp.float32),) + tuple(labels[1:])
 
         def loss_fn(params):
             preds, new_state = model.apply(
@@ -109,7 +138,7 @@ def make_confidence_train_step(
                 noised, deterministic=False, use_running_average=False,
                 mutable=["batch_stats"], rngs={"dropout": k_drop},
             )
-            metrics = confidence_loss(preds, labels, by_total)
+            metrics = confidence_loss(preds, labels, by_total, label_mode)
             return metrics["loss"], (metrics, new_state["batch_stats"])
 
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
@@ -133,7 +162,8 @@ def make_confidence_train_step(
 
 
 def make_confidence_eval_step(model: ConfidenceModel, vdw_table: jnp.ndarray,
-                              by_total: bool = False):
+                              by_total: bool = False,
+                              label_mode: str = "fitness"):
     """(variables, batch, key) -> metrics on freshly noised poses."""
     schedule = model.cfg.sigma_schedule
 
@@ -141,9 +171,13 @@ def make_confidence_eval_step(model: ConfidenceModel, vdw_table: jnp.ndarray,
         noised, _ = apply_noise(batch, key, schedule,
                                 no_torsion=model.cfg.no_torsion)
         labels = confidence_labels(noised, vdw_table)
+        if label_mode == "rmsd_lt2":
+            rmsd = pose_rmsd_to_clean(noised.lig_pos, batch.lig_pos,
+                                      batch.lig_mask)
+            labels = ((rmsd < 2.0).astype(jnp.float32),) + tuple(labels[1:])
         preds = model.apply(variables, noised, deterministic=True,
                             use_running_average=False,
                             mutable=["batch_stats"])[0]
-        return confidence_loss(preds, labels, by_total)
+        return confidence_loss(preds, labels, by_total, label_mode)
 
     return step

@@ -44,13 +44,21 @@ def evaluate_results(
     run_times: Optional[np.ndarray] = None,
     no_overlap_idx: Optional[np.ndarray] = None,
     topk: Sequence[int] = (1, 5, 10),
+    confidence: Optional[np.ndarray] = None,  # (M, N) trained-head scores
 ) -> Dict[str, float]:
-    """The reference's full metric battery, same key names."""
+    """The reference's full metric battery, same key names.
+
+    ``confidence`` adds rankbyConfidence_* variants of the top-k battery
+    (the reference declares the confidence-model flag pair,
+    evaluate.py:66-67, but never ranks by it; here the trained head is a
+    first-class ranking signal)."""
     M, N = rmsds.shape
     topk = [k for k in topk if k <= N]
     out: Dict[str, float] = {}
     perm_by_rmsd = np.argsort(rmsds, axis=1)
     perm_by_fit = np.argsort(fitscore, axis=1)[:, ::-1]
+    perm_by_conf = (np.argsort(confidence, axis=1)[:, ::-1]
+                    if confidence is not None else None)
 
     slices = {"": np.arange(M)}
     if no_overlap_idx is not None and len(no_overlap_idx):
@@ -82,7 +90,10 @@ def evaluate_results(
             out[f"{prefix}centroid_percentile_{q}"] = round(float(np.percentile(c, q)), 2)
             out[f"{prefix}fitscore_percentile_{q}"] = round(float(np.percentile(f, q)), 2)
 
-        for rankby, perm_all in (("rmsd", perm_by_rmsd), ("fitscore", perm_by_fit)):
+        rankers = [("rmsd", perm_by_rmsd), ("fitscore", perm_by_fit)]
+        if perm_by_conf is not None:
+            rankers.append(("confidence", perm_by_conf))
+        for rankby, perm_all in rankers:
             p = perm_all[idx]
             rr = np.take_along_axis(r, p, axis=1)
             ff = np.take_along_axis(f, p, axis=1)
@@ -90,7 +101,8 @@ def evaluate_results(
             mss = np.take_along_axis(ms, p, axis=1)
             mee = np.take_along_axis(me, p, axis=1)
             ks = [1] if rankby == "rmsd" else topk
-            tag = "rankbyFitscore_" if rankby == "fitscore" else ""
+            tag = {"rmsd": "", "fitscore": "rankbyFitscore_",
+                   "confidence": "rankbyConfidence_"}[rankby]
             for k in ks:
                 rk = rr[:, :k].min(axis=1)
                 fk = ff[:, :k].mean(axis=1)
