@@ -355,9 +355,25 @@ def phore_norms_and_angles(
     return norms, angle1, angle2
 
 
-def ligand_phore_features(mol: Molecule):
-    """One-stop: (fp, norms, angle1, angle2, counts) for an H-free ligand."""
+def ligand_phore_features(mol: Molecule, follow_ancphore: bool = False):
+    """One-stop: (fp, norms, angle1, angle2, counts) for an H-free ligand.
+
+    ``follow_ancphore=True`` replaces the SMARTS-rule HY column with the
+    AncPhore lipophilicity-surface perception (chem/lipo.py), mirroring the
+    reference's ``hy_check(mol, follow_ancphore=True)`` branch
+    (process_mols.py:564-600).  Note the reference pipeline itself never
+    enables it — ``analyze_phorefp`` (process_mols.py:437) always calls with
+    the default False — so False stays the default here too.
+    """
     fp, counts = perceive_phore_types(mol)
+    if follow_ancphore:
+        from .lipo import hy_check_ancphore
+
+        hy_col = PHORETYPES.index("HY")
+        fp = fp.copy()
+        fp[:, hy_col] = hy_check_ancphore(mol).astype(fp.dtype)
+        counts = dict(counts)
+        counts["HY"] = int(fp[:, hy_col].sum())
     norms, a1, a2 = phore_norms_and_angles(mol, fp)
     return fp, norms, a1, a2, counts
 

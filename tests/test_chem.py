@@ -180,3 +180,115 @@ def test_featurizer_ethanol():
     assert f[2][0] == 7 and f[2][5] == 1
     # no rings
     assert (f[:, 9:] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# AncPhore lipophilicity HY branch (chem/lipo.py; reference hy_check with
+# follow_ancphore=True, process_mols.py:564-600)
+# ---------------------------------------------------------------------------
+
+def _embedded(smiles: str):
+    from diffphore_tpu.chem.embed import embed_molecule
+
+    m = mol_from_smiles(smiles)
+    m.coords = embed_molecule(m, seed=0)
+    return m
+
+
+def test_lipo_factors_polar_attenuation():
+    from diffphore_tpu.chem.lipo import label_lipo_atoms
+
+    # Ethanol C-C-O: O-H zeroes its shell (the attached C) and that C's
+    # neighbours; the terminal methyl survives only via... it is a neighbour
+    # of the zeroed C, so it is scaled to 0 too.
+    m = mol_from_smiles("CCO")
+    p = label_lipo_atoms(m)
+    assert p[2] == 0.0  # O itself
+    assert p[1] == 0.0  # carbinol C
+    assert p[0] == 0.0  # methyl C, killed by the O-H second shell
+
+    # Pure hydrocarbon keeps factor 1 everywhere.
+    hexane = mol_from_smiles("CCCCCC")
+    assert np.all(label_lipo_atoms(hexane) == 1.0)
+
+    # Carbonyl: the C=O partner and its other neighbours are zeroed; the 0.6
+    # attenuation lands three bonds out from O.  Acetone CC(=O)C therefore
+    # zeroes everything; 3-pentanone keeps its terminal methyls at 0.6.
+    acetone = mol_from_smiles("CC(=O)C")
+    assert np.all(label_lipo_atoms(acetone) == 0.0)
+    pentanone = mol_from_smiles("CCC(=O)CC")
+    p = label_lipo_atoms(pentanone)
+    assert p[2] == 0.0 and p[3] == 0.0  # carbonyl C and O
+    assert p[1] == 0.0 and p[4] == 0.0  # alpha carbons
+    assert p[0] == pytest.approx(0.6) and p[5] == pytest.approx(0.6)
+
+    # Charged atom kills its neighbourhood.
+    betaine = mol_from_smiles("C[N+](C)(C)CC([O-])=O")
+    p = label_lipo_atoms(betaine)
+    assert np.all(p == 0.0)
+
+
+def test_accessible_surface_monotone():
+    from diffphore_tpu.chem.lipo import accessible_surface
+
+    # A bare atom is fully accessible; adding neighbours reduces area.
+    lone = Molecule([type(mol_from_smiles("C").atoms[0])(6)], [], coords=[[0.0, 0.0, 0.0]])
+    area_lone = accessible_surface(lone, 0, "HY")
+    r = 1.7 + 1.4
+    assert area_lone == pytest.approx(4 * np.pi * 1.7 * 1.7, rel=0.02)
+
+    m = _embedded("CC")
+    a0 = accessible_surface(m, 0, "HY")
+    assert 0.0 < a0 < area_lone
+
+    mid = _embedded("CCC")
+    a_mid = accessible_surface(mid, 1, "HY")
+    assert a_mid < a0  # two blockers < one blocker
+
+    frac = accessible_surface(m, 0, "HA")
+    assert 0.0 < frac < 1.0
+
+
+def test_hy_ancphore_benzene_ring_flagged():
+    from diffphore_tpu.chem.lipo import hy_check_ancphore
+
+    m = _embedded("c1ccccc1")
+    hy = hy_check_ancphore(m)
+    assert hy.all()  # aromatic CH ring: 6 x (1.0 x ~20 A^2) >> 9.87
+
+
+def test_hy_ancphore_polar_ring_not_flagged():
+    from diffphore_tpu.chem.lipo import hy_check_ancphore
+
+    # Glycine: charged/polar everywhere -> nothing hydrophobic.
+    m = _embedded("NCC(=O)O")
+    assert not hy_check_ancphore(m).any()
+
+
+def test_hy_ancphore_methyl_group_rule():
+    from diffphore_tpu.chem.lipo import hy_check_ancphore
+
+    # Neopentane C(C)(C)(C)C: each methyl has >2 Hs, the central C has 0 Hs;
+    # per-methyl group sum = own lipo (~15-20 A^2) > 9.87 -> flagged.
+    m = _embedded("CC(C)(C)C")
+    hy = hy_check_ancphore(m)
+    assert hy[0] and hy[2] and hy[3] and hy[4]
+
+    # Chloroform-like CHCl3: single-H carbon, no ring, no >2H atom -> no HY
+    # under the AncPhore rules (the default SMARTS rule WOULD flag the C).
+    chcl3 = _embedded("ClC(Cl)Cl")
+    assert not hy_check_ancphore(chcl3).any()
+    fp, _ = perceive_phore_types(chcl3)
+    assert fp[1, T["HY"]] == 1  # contrast: default rule flags it
+
+
+def test_ligand_phore_features_follow_ancphore_flag():
+    m = _embedded("c1ccccc1CCO")
+    fp_def, *_rest, counts_def = ligand_phore_features(m)
+    fp_anc, *_rest, counts_anc = ligand_phore_features(m, follow_ancphore=True)
+    # Only the HY column may differ; others identical.
+    for t, k in T.items():
+        if t == "HY":
+            continue
+        assert np.array_equal(fp_def[:, k], fp_anc[:, k])
+    assert counts_anc["HY"] == int(fp_anc[:, T["HY"]].sum())
