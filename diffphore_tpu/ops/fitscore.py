@@ -53,8 +53,16 @@ AncPhore's internal 1:1 feature-mapping behaviour (its score files report
 n_mapped <= n_ref per pose).  A linear identification study showed the
 remaining gap is NOT any sum-of-pairs weighting: no nonnegative per-atom
 weight assignment reproduces the golden V_overlap columns, so AncPhore
-applies a non-linear mapping step (and likely internal pose refinement)
-that an in-place scorer cannot reproduce exactly.
+applies a non-linear mapping step that an in-place scorer cannot reproduce
+exactly.
+
+The local-pose-refinement hypothesis was also MEASURED and rejected
+(analysis/refine_ab.py): gradient-ascending PhScore1 over the 6 rigid DOFs
+per pose (60 steps, median shift 0.67 A) before scoring DROPS fidelity to
+0.67 within / 0.40 cross - the golden columns are in-place scores of the
+submitted conformers (consistent with the binary's `formodel` flag), and
+the measured 0.81/0.75 is the ceiling of any volume-overlap scorer without
+the closed-source perception internals.
 """
 
 from __future__ import annotations
