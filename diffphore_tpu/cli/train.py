@@ -57,6 +57,14 @@ def parse_args(argv=None):
     p.add_argument("--matching", action="store_true")
     p.add_argument("--ligand_only", action="store_true",
                    help="ZINC/ChEMBL mode: synthesize random phores from ligands")
+    p.add_argument("--phore_augment", type=int, default=0,
+                   help="add K copies of each training complex whose phore is a "
+                        "random ligand-derived sub-phore (keeps the real-phore "
+                        "record; broadens the phore distribution per ligand)")
+    p.add_argument("--phore_augment_ex", type=int, default=2,
+                   help="EX volumes per perceived feature for --phore_augment "
+                        "sub-phores (small keeps the P bucket near the real "
+                        "phore's; ligand-only mode keeps its own default of 5)")
     p.add_argument("--max_lig_size", type=int, default=0)
     p.add_argument("--min_phore_num", type=int, default=0)
     p.add_argument("--max_phore_num", type=int, default=0)
@@ -245,6 +253,13 @@ def build_datasets(args):
     if args.limit_complexes:
         train_records = train_records[: args.limit_complexes]
         val_records = val_records[: args.limit_complexes]
+    if args.phore_augment:
+        train_records = train_records + [
+            {**r, "name": f"{r['name']}~aug{j}", "phore_seed": j,
+             "aug_num_ex": args.phore_augment_ex}
+            for r in train_records
+            for j in range(1, args.phore_augment + 1)
+        ]
     train = PhoreDataset(train_records, settings, args.cache_path,
                          args.num_dataloader_workers, name="train")
     val = (
@@ -632,6 +647,8 @@ def main(argv=None) -> None:
         "rate_from_infer": args.rate_from_infer,
         "epoch_from_infer": args.epoch_from_infer,
         "dynamic_coeff": args.dynamic_coeff,
+        "phore_augment": args.phore_augment,
+        "phore_augment_ex": args.phore_augment_ex,
     })
     metrics_out = MetricsWriter(os.path.join(args.run_dir, "metrics.jsonl"))
     key = jax.random.PRNGKey(args.seed)

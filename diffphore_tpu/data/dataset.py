@@ -4,6 +4,10 @@ Re-design of the reference PhoreDataset (pdbbind_phore.py:394-1221):
   * records are {'name', 'phore', 'ligand_description', optional 'orig_lig'};
     PDBbind-layout helpers build records from a split file + data dir, and a
     ligand-only mode synthesizes random pharmacophores (ZINC/ChEMBL path).
+    A record-level 'phore_seed' (int) forces the random-phore path with that
+    seed even when a real phore file is present - used by --phore_augment to
+    broaden the (phore, pose) distribution per ligand (augmentation on top
+    of the reference's ligand-only sampling machinery).
   * featurization runs in a multiprocessing pool (chunked, resumable) and
     caches each complex as one .npz keyed by a settings+record digest
     (reference: pickled heterograph chunks keyed by CRC32, :459-475).
@@ -107,10 +111,22 @@ def featurize_record(record: Dict, s: DatasetSettings) -> Optional[ComplexBatch]
         else:
             rmsd = 0.0
 
-        if s.ligand_only or not record.get("phore"):
+        aug = record.get("phore_seed")
+        try:
+            aug = int(aug) if aug is not None and aug == aug else None
+        except (TypeError, ValueError):
+            aug = None
+        if s.ligand_only or not record.get("phore") or aug is not None:
             from .phore_sampling import random_ligand_phore
 
-            phore = random_ligand_phore(mol, name, seed=s.seed + mol.num_atoms)
+            base = s.seed + mol.num_atoms
+            try:
+                num_ex = int(record.get("aug_num_ex", 5))
+            except (TypeError, ValueError):
+                num_ex = 5
+            phore = random_ligand_phore(
+                mol, name, num_ex=num_ex,
+                seed=base if aug is None else base + 7919 * aug)
             if phore is None:
                 return None
         else:

@@ -91,3 +91,37 @@ def test_repeat_and_concat(sqc):
     padded = pad_to_bucket([c, c2], a_pad, p_pad, t_pad)
     both = concat_batches(padded)
     assert both.batch_size == 2 and both.names == ("x", "y")
+
+
+def test_phore_seed_augmentation():
+    """A record-level phore_seed swaps the real phore for a random
+    ligand-derived sub-phore (distinct per seed), anchored at the ligand's
+    clean pose — the --phore_augment data-augmentation path."""
+    from diffphore_tpu.data.dataset import DatasetSettings, featurize_record
+
+    mapped = ("/root/reference/examples/output/2/mapping_process/"
+              "sQC_Substrate__STK243239/sQC_Substrate__STK243239.sdf")
+    s = DatasetSettings()
+    base = {"name": "aug_probe", "ligand_description": mapped,
+            "phore": SQC, "pose_index": 0}
+    real = featurize_record(base, s)
+    aug1 = featurize_record({**base, "phore_seed": 1, "aug_num_ex": 2}, s)
+    aug2 = featurize_record({**base, "phore_seed": 2, "aug_num_ex": 2}, s)
+    assert real is not None and aug1 is not None and aug2 is not None
+    # augmented records drop the real 79-point phore for a small sub-phore
+    n_real = int(np.asarray(real.phore_mask[0]).sum())
+    n_a1 = int(np.asarray(aug1.phore_mask[0]).sum())
+    n_a2 = int(np.asarray(aug2.phore_mask[0]).sum())
+    assert n_real == 79 and n_a1 < n_real and n_a2 < n_real
+    # seeds give distinct phores
+    p1 = np.asarray(aug1.phore_pos[0])[: n_a1]
+    p2 = np.asarray(aug2.phore_pos[0])[: n_a2]
+    assert n_a1 != n_a2 or not np.allclose(p1, p2)
+    # ligand pose is unchanged by augmentation (same clean pose, both
+    # frames centered on their own phore centroid so compare shapes)
+    la = np.asarray(aug1.lig_pos[0])[np.asarray(aug1.lig_mask[0])]
+    lr = np.asarray(real.lig_pos[0])[np.asarray(real.lig_mask[0])]
+    assert np.allclose(la - la.mean(0), lr - lr.mean(0), atol=1e-4)
+    # the random sub-phore sits at the ligand (features perceived from it):
+    # phore centroid within a few A of the ligand centroid in world frame
+    assert np.linalg.norm(la.mean(0)) < 10.0
