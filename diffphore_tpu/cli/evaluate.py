@@ -58,6 +58,10 @@ def parse_args(argv=None):
 
 
 def main(argv=None) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_compile_cache"))
     from ..cli.inference import load_model
     from ..cli.train import _run_batch_inference
     from ..cli.pipeline import FitEngine

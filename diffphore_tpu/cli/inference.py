@@ -441,6 +441,8 @@ def main(argv=None) -> None:
 
     import jax
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_compile_cache"))
     n_proc = args.num_processes or jax.process_count()
     rank = args.process_rank if args.process_rank >= 0 else jax.process_index()
     if n_proc > 1:
