@@ -65,6 +65,13 @@ def parse_args(argv=None):
                    help="EX volumes per perceived feature for --phore_augment "
                         "sub-phores (small keeps the P bucket near the real "
                         "phore's; ligand-only mode keeps its own default of 5)")
+    p.add_argument("--conf_augment", type=int, default=0,
+                   help="add M copies of each training complex whose ground "
+                        "truth is a freshly embedded conformer (with a "
+                        "ligand-derived sub-phore): broadens torsion-space "
+                        "coverage per ligand, like the reference's "
+                        "ligand-only ChEMBL mode but mixed into complex "
+                        "training (keeps the real-pose record)")
     p.add_argument("--max_lig_size", type=int, default=0)
     p.add_argument("--min_phore_num", type=int, default=0)
     p.add_argument("--max_phore_num", type=int, default=0)
@@ -253,12 +260,20 @@ def build_datasets(args):
     if args.limit_complexes:
         train_records = train_records[: args.limit_complexes]
         val_records = val_records[: args.limit_complexes]
+    base_records = list(train_records)
     if args.phore_augment:
         train_records = train_records + [
             {**r, "name": f"{r['name']}~aug{j}", "phore_seed": j,
              "aug_num_ex": args.phore_augment_ex}
-            for r in train_records
+            for r in base_records
             for j in range(1, args.phore_augment + 1)
+        ]
+    if args.conf_augment:
+        train_records = train_records + [
+            {**r, "name": f"{r['name']}~conf{j}", "conf_seed": j,
+             "aug_num_ex": args.phore_augment_ex}
+            for r in base_records
+            for j in range(1, args.conf_augment + 1)
         ]
     train = PhoreDataset(train_records, settings, args.cache_path,
                          args.num_dataloader_workers, name="train")
@@ -649,6 +664,7 @@ def main(argv=None) -> None:
         "dynamic_coeff": args.dynamic_coeff,
         "phore_augment": args.phore_augment,
         "phore_augment_ex": args.phore_augment_ex,
+        "conf_augment": args.conf_augment,
     })
     metrics_out = MetricsWriter(os.path.join(args.run_dir, "metrics.jsonl"))
     key = jax.random.PRNGKey(args.seed)

@@ -99,6 +99,23 @@ def featurize_record(record: Dict, s: DatasetSettings) -> Optional[ComplexBatch]
             log_warn(f"{name}: ligand too large ({mol.num_atoms} atoms), skipped")
             return None
 
+        conf = record.get("conf_seed")
+        try:
+            conf = int(conf) if conf is not None and conf == conf else None
+        except (TypeError, ValueError):
+            conf = None
+        if conf is not None:
+            # Conformer augmentation (--conf_augment): re-embed the ligand
+            # and use the fresh conformer as the ground-truth pose.  This is
+            # the reference's ligand-only ChEMBL/ZINC training mode
+            # (pdbbind_phore.py:820-918: generate a conformer, derive a
+            # random phore from it) generalized to per-record seeds so one
+            # ligand yields many (pose, phore) training pairs that differ in
+            # torsion space, not just in phore subset.
+            from ..chem.embed import embed_molecule
+
+            embed_molecule(mol, seed=conf)
+
         orig_pos = mol.coords.copy()
         if s.matching:
             from ..chem.conformer_matching import optimize_rotatable_bonds
@@ -116,7 +133,8 @@ def featurize_record(record: Dict, s: DatasetSettings) -> Optional[ComplexBatch]
             aug = int(aug) if aug is not None and aug == aug else None
         except (TypeError, ValueError):
             aug = None
-        if s.ligand_only or not record.get("phore") or aug is not None:
+        if s.ligand_only or not record.get("phore") or aug is not None \
+                or conf is not None:
             from .phore_sampling import random_ligand_phore
 
             base = s.seed + mol.num_atoms
@@ -124,9 +142,12 @@ def featurize_record(record: Dict, s: DatasetSettings) -> Optional[ComplexBatch]
                 num_ex = int(record.get("aug_num_ex", 5))
             except (TypeError, ValueError):
                 num_ex = 5
+            if aug is None and conf is None:
+                phore_seed = base
+            else:
+                phore_seed = base + 7919 * (aug or 0) + 104729 * (conf or 0)
             phore = random_ligand_phore(
-                mol, name, num_ex=num_ex,
-                seed=base if aug is None else base + 7919 * aug)
+                mol, name, num_ex=num_ex, seed=phore_seed)
             if phore is None:
                 return None
         else:

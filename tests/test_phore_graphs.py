@@ -125,3 +125,38 @@ def test_phore_seed_augmentation():
     # the random sub-phore sits at the ligand (features perceived from it):
     # phore centroid within a few A of the ligand centroid in world frame
     assert np.linalg.norm(la.mean(0)) < 10.0
+
+
+def test_conf_seed_augmentation():
+    """A record-level conf_seed re-embeds the ligand (fresh conformer as the
+    ground-truth pose) and derives a sub-phore from it — the --conf_augment
+    path. Distinct seeds must give distinct poses; the real-pose record is
+    untouched."""
+    from diffphore_tpu.data.dataset import DatasetSettings, featurize_record
+    from diffphore_tpu.chem.rmsd import plain_rmsd
+
+    mapped = ("/root/reference/examples/output/2/mapping_process/"
+              "sQC_Substrate__STK243239/sQC_Substrate__STK243239.sdf")
+    s = DatasetSettings()
+    base = {"name": "conf_probe", "ligand_description": mapped,
+            "phore": SQC, "pose_index": 0}
+    real = featurize_record(base, s)
+    c1 = featurize_record({**base, "conf_seed": 1, "aug_num_ex": 2}, s)
+    c2 = featurize_record({**base, "conf_seed": 2, "aug_num_ex": 2}, s)
+    assert real is not None and c1 is not None and c2 is not None
+    assert c1.num_atoms == real.num_atoms
+    # conformer records drop the real phore for a ligand-derived sub-phore
+    assert int(np.asarray(c1.phore_mask[0]).sum()) < int(
+        np.asarray(real.phore_mask[0]).sum())
+
+    def pose(c):
+        return np.asarray(c.lig_pos[0])[np.asarray(c.lig_mask[0])]
+
+    # the embedded conformer is a genuinely different pose from the crystal
+    # one, and the two seeds differ from each other (centered RMSD > 0.5 A
+    # rules out a rigid translation explaining the difference)
+    pr, p1, p2 = pose(real), pose(c1), pose(c2)
+    assert plain_rmsd(p1 - p1.mean(0), pr - pr.mean(0)) > 0.5
+    assert plain_rmsd(p1 - p1.mean(0), p2 - p2.mean(0)) > 0.5
+    # sub-phore anchored at the new pose
+    assert np.linalg.norm(p1.mean(0)) < 10.0
