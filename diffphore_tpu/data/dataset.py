@@ -306,7 +306,15 @@ class PhoreDataset:
 def records_from_csv(path: str) -> List[Dict]:
     import pandas as pd
 
-    return pd.read_csv(path).drop_duplicates().to_dict("records")
+    rows = pd.read_csv(path).drop_duplicates().to_dict("records")
+    # Drop NaN cells (rows without a value for an optional column such as
+    # pose_index / conf_seed): the record dict is the featurization cache
+    # key, so a `conf_seed=NaN` entry must hash identically to a record
+    # from a CSV without the column at all.
+    return [
+        {k: v for k, v in r.items() if not (isinstance(v, float) and np.isnan(v))}
+        for r in rows
+    ]
 
 
 def records_from_pdbbind_split(

@@ -160,3 +160,25 @@ def test_conf_seed_augmentation():
     assert plain_rmsd(p1 - p1.mean(0), p2 - p2.mean(0)) > 0.5
     # sub-phore anchored at the new pose
     assert np.linalg.norm(p1.mean(0)) < 10.0
+
+
+def test_records_from_csv_drops_nan_cells(tmp_path):
+    """Optional CSV columns (pose_index/conf_seed/aug_num_ex) must not leak
+    NaN cells into records: the record dict is the featurization cache key,
+    so a row without a value has to hash identically to a row from a CSV
+    that never had the column (cache stability across CSV schema growth)."""
+    from diffphore_tpu.data.dataset import _record_key, records_from_csv
+
+    p1 = tmp_path / "plain.csv"
+    p1.write_text("name,ligand_description,phore,pose_index\n"
+                  "A,foo.sdf,bar.phore,0\n")
+    p2 = tmp_path / "extended.csv"
+    p2.write_text(
+        "name,ligand_description,phore,pose_index,conf_seed,aug_num_ex\n"
+        "A,foo.sdf,bar.phore,0,,\n"
+        "B,baz.sdf,bar.phore,0,100,2\n")
+    r1, r2 = records_from_csv(str(p1)), records_from_csv(str(p2))
+    assert r1[0] == r2[0]
+    assert _record_key(r1[0]) == _record_key(r2[0])
+    assert "conf_seed" not in r2[0]
+    assert r2[1]["conf_seed"] == 100 and r2[1]["aug_num_ex"] == 2
