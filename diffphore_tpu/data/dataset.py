@@ -222,6 +222,10 @@ def _worker(args):
     s = DatasetSettings(**settings_dict)
     batch = featurize_record(record, s)
     if batch is None:
+        # negative-cache the skip so later dataset constructions don't
+        # refeaturize records that deterministically fail or exceed caps
+        with open(cache_file + ".skip", "w") as f:
+            f.write("")
         return None
     save_complex(batch, cache_file)
     return cache_file
@@ -282,7 +286,7 @@ class PhoreDataset:
             f = os.path.join(self.cache_dir, _record_key(r) + ".npz")
             if os.path.exists(f):
                 self.files.append(f)
-            else:
+            elif not os.path.exists(f + ".skip"):
                 todo.append((r, dataclasses.asdict(self.settings), f))
         if todo:
             log_info(f"Featurizing {len(todo)} complexes "

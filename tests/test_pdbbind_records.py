@@ -51,3 +51,24 @@ def test_sdf_preferred_over_mol2(tmp_path):
     split.write_text("1abc\n")
     recs = records_from_pdbbind_split(str(split), str(tmp_path))
     assert recs[0]["ligand_description"].endswith(".sdf")
+
+
+def test_skip_marker_negative_cache(tmp_path):
+    """Records that fail featurization (or exceed bucket caps) are
+    negative-cached with a .skip marker so later dataset constructions
+    don't refeaturize them."""
+    from diffphore_tpu.data.dataset import DatasetSettings, PhoreDataset
+
+    recs = [
+        {"name": "bad", "ligand_description": "not_a_smiles((("},
+        {"name": "ok", "ligand_description": "c1ccccc1C(=O)NC"},
+    ]
+    s = DatasetSettings(ligand_only=True)
+    ds = PhoreDataset(recs, s, str(tmp_path), name="t")
+    assert len(ds) == 1
+    skips = [
+        f for _, _, fs in os.walk(tmp_path) for f in fs if f.endswith(".skip")
+    ]
+    assert len(skips) == 1
+    # second construction: the skip marker suppresses refeaturization
+    assert len(PhoreDataset(recs, s, str(tmp_path), name="t")) == 1
