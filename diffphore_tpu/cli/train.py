@@ -131,6 +131,11 @@ def parse_args(argv=None):
                    help="write a jax.profiler trace of the first training "
                         "epoch (open with TensorBoard/XProf)")
     p.add_argument("--restart_dir", type=str, default=None)
+    p.add_argument("--pretrain_model_pt", type=str, default=None,
+                   help="checkpoint to initialize params/EMA from with a "
+                        "fresh optimizer and epoch counter (reference "
+                        "parsing.py:35, declared but unshipped there); "
+                        "unlike --restart_dir this does not resume training")
     p.add_argument("--restart_lr", type=float, default=0.0,
                    help="override the learning rate after a restart "
                         "(reference parsing.py restart_lr; 0 = keep)")
@@ -644,6 +649,20 @@ def main(argv=None) -> None:
     else:
         step_jit = jax.jit(step_fn)
         cc_step_jit = jax.jit(cc_step_fn) if cc_step_fn else None
+
+    # pretrained init (reference --pretrain_model_pt, parsing.py:35):
+    # transplant params/EMA/batch_stats from a checkpoint but keep the fresh
+    # optimizer state and epoch counter - a fine-tune, not a resume
+    if args.pretrain_model_pt:
+        if not os.path.exists(args.pretrain_model_pt):
+            raise SystemExit(
+                f"--pretrain_model_pt `{args.pretrain_model_pt}` not found")
+        loaded = checkpoints.load_variables(state, args.pretrain_model_pt)
+        state = state.replace(params=loaded.params,
+                              batch_stats=loaded.batch_stats,
+                              ema_params=loaded.ema_params)
+        log_info(f"Initialized from pretrained `{args.pretrain_model_pt}` "
+                 f"(fresh optimizer, epoch 0)")
 
     # restart
     start_epoch = 0

@@ -105,6 +105,22 @@ def test_train_checkpoints_and_restart(train_csv, tmp_path):
     assert all(abs(l["lr"] - 1e-4) < 1e-12 for l in train2)
     assert train2[0]["epoch"] >= 3  # resumed epoch counter, not from 0
 
+    # pretrained init (--pretrain_model_pt): params transplant with a fresh
+    # optimizer and epoch counter - fine-tune semantics, not resume
+    run3 = str(tmp_path / "run3")
+    train_main([
+        "--train_csv", train_csv, "--val_csv", train_csv,
+        "--cache_path", str(tmp_path / "cache"), "--run_dir", run3,
+        "--pretrain_model_pt",
+        os.path.join(run_dir, checkpoints.LAST_MODEL),
+        "--n_epochs", "2", "--val_inference_freq", "0",
+        "--seed", "0", *TINY,
+    ])
+    _, train3 = _read_metrics(run3)
+    assert train3[0]["epoch"] == 0  # fresh epoch counter
+    # inherited params: first-epoch loss well below the from-scratch start
+    assert train3[0]["loss"] < 0.8 * train[0]["loss"], (train3[0], train[0])
+
 
 def test_warmup_subset_epochs(train_csv, tmp_path):
     """--warmup_epochs trains the first epochs on a reduced sample set."""
