@@ -688,6 +688,7 @@ def main(argv=None) -> None:
     metrics_out = MetricsWriter(os.path.join(args.run_dir, "metrics.jsonl"))
     key = jax.random.PRNGKey(args.seed)
     best_metric = -np.inf if args.inference_earlystop_goal == "max" else np.inf
+    best_rmsd = np.inf  # tie-break for fraction metrics on small val sets
     best_val_loss = np.inf
     plateau = 0
     es_rounds = 0  # val-inference rounds without earlystop-metric improvement
@@ -819,8 +820,15 @@ def main(argv=None) -> None:
             metric = vm.get(args.inference_earlystop_metric, 0.0)
             better = (metric > best_metric) if args.inference_earlystop_goal == "max" \
                 else (metric < best_metric)
+            # tie-break on mean RMSD: with few val complexes the fraction
+            # metrics tie often, and a strictly-greater gate would freeze
+            # best-EMA at the first tying epoch forever
+            mean_rmsd = vm.get("valinf_mean_rmsd", np.inf)
+            if metric == best_metric and mean_rmsd < best_rmsd:
+                better = True
             if better:
                 best_metric = metric
+                best_rmsd = mean_rmsd
                 es_rounds = 0
                 checkpoints.save_variables(
                     state.ema_variables,
