@@ -73,6 +73,19 @@ def parse_args(argv=None):
                         "ligand-only ChEMBL mode but mixed into complex "
                         "training (keeps the real-pose record)")
     p.add_argument("--max_lig_size", type=int, default=0)
+    p.add_argument("--bucket_a_min", type=int, default=16,
+                   help="atom-count bucket floor; raise so a size-diverse "
+                        "library lands in one A bucket")
+    p.add_argument("--bucket_p_min", type=int, default=16,
+                   help="phore-point bucket floor")
+    p.add_argument("--bucket_t_min", type=int, default=4,
+                   help="torsion bucket floor")
+    p.add_argument("--bucket_a_step", type=int, default=8)
+    p.add_argument("--bucket_p_step", type=int, default=16,
+                   help="phore-point bucket step; each distinct (A,P,T) "
+                        "bucket is one XLA train-step compile, so coarse "
+                        "buckets trade padding FLOPs for compile count")
+    p.add_argument("--bucket_t_step", type=int, default=4)
     p.add_argument("--min_phore_num", type=int, default=0)
     p.add_argument("--max_phore_num", type=int, default=0)
     p.add_argument("--matching_popsize", type=int, default=20)
@@ -250,6 +263,9 @@ def build_datasets(args):
         popsize=args.matching_popsize, maxiter=args.matching_maxiter,
         consider_ex=args.consider_ex, ex_connected=args.ex_connected,
         neighbor_cutoff=args.neighbor_cutoff, remove_hs=args.remove_hs,
+        a_min=args.bucket_a_min, p_min=args.bucket_p_min,
+        t_min=args.bucket_t_min, a_step=args.bucket_a_step,
+        p_step=args.bucket_p_step, t_step=args.bucket_t_step,
     )
     if args.train_csv:
         train_records = records_from_csv(args.train_csv)

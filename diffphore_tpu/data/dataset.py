@@ -53,6 +53,12 @@ class DatasetSettings:
     a_step: int = 8
     p_step: int = 16
     t_step: int = 4
+    # Bucket floors: raising these coarsens the shape distribution so a
+    # heterogeneous library compiles few train-step variants (each distinct
+    # (A, P, T) bucket is one XLA compile) at the cost of extra padding.
+    a_min: int = 16
+    p_min: int = 16
+    t_min: int = 4
     max_atoms: int = 96
     max_phore_points: int = 160
     max_torsions: int = 32
@@ -162,9 +168,9 @@ def featurize_record(record: Dict, s: DatasetSettings) -> Optional[ComplexBatch]
         from ..chem.topology import rotatable_bonds
 
         n_tor = len(rotatable_bonds(mol)[0])
-        a_pad = _bucket(mol.num_atoms, s.a_step, 16)
-        p_pad = _bucket(n_points, s.p_step, 16)
-        t_pad = _bucket(max(n_tor, 1), s.t_step, 4)
+        a_pad = _bucket(mol.num_atoms, s.a_step, s.a_min)
+        p_pad = _bucket(n_points, s.p_step, s.p_min)
+        t_pad = _bucket(max(n_tor, 1), s.t_step, s.t_min)
         if a_pad > s.max_atoms or p_pad > s.max_phore_points or t_pad > s.max_torsions:
             log_warn(f"{name}: exceeds bucket caps (A={a_pad}, P={p_pad}, T={t_pad}), skipped")
             return None

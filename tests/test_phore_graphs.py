@@ -182,3 +182,29 @@ def test_records_from_csv_drops_nan_cells(tmp_path):
     assert _record_key(r1[0]) == _record_key(r2[0])
     assert "conf_seed" not in r2[0]
     assert r2[1]["conf_seed"] == 100 and r2[1]["aug_num_ex"] == 2
+
+
+def test_bucket_floor_settings_coarsen_shapes():
+    """a_min/p_min/t_min raise the bucket floors so a size-diverse library
+    lands in few (A, P, T) shapes (one XLA compile per shape); the digest
+    changes so coarse and fine featurizations never share a cache dir."""
+    from diffphore_tpu.data.dataset import DatasetSettings, featurize_record
+
+    mapped = ("/root/reference/examples/output/2/mapping_process/"
+              "sQC_Substrate__STK243239/sQC_Substrate__STK243239.sdf")
+    fine = DatasetSettings()
+    coarse = DatasetSettings(a_min=32, p_min=96, t_min=8, p_step=32)
+    assert fine.digest() != coarse.digest()
+    rec = {"name": "bucket_probe", "ligand_description": mapped,
+           "phore": SQC, "pose_index": 0}
+    f = featurize_record(rec, fine)
+    c = featurize_record(rec, coarse)
+    assert f is not None and c is not None
+    assert c.lig_pos.shape[1] >= 32 and c.lig_pos.shape[1] % 8 == 0
+    assert c.phore_pos.shape[1] >= 96 and (c.phore_pos.shape[1] - 96) % 32 == 0
+    assert c.tor_mask.shape[1] >= 8
+    # padding must not change the real content
+    n = int(np.asarray(f.lig_mask[0]).sum())
+    assert int(np.asarray(c.lig_mask[0]).sum()) == n
+    np.testing.assert_allclose(
+        np.asarray(f.lig_pos[0, :n]), np.asarray(c.lig_pos[0, :n]))
