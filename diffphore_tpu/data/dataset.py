@@ -298,8 +298,15 @@ class PhoreDataset:
             log_info(f"Featurizing {len(todo)} complexes "
                      f"({len(self.records) - len(todo)} cached) -> {self.cache_dir}")
             if num_workers > 1:
-                with multiprocessing.Pool(num_workers, maxtasksperchild=32) as pool:
+                # close+join rather than the context manager: Pool.__exit__
+                # calls terminate(), which kills maxtasksperchild respawns
+                # mid-queue-write and spams BrokenPipeError tracebacks.
+                pool = multiprocessing.Pool(num_workers, maxtasksperchild=32)
+                try:
                     results = pool.map(_worker, todo)
+                finally:
+                    pool.close()
+                    pool.join()
             else:
                 results = [_worker(t) for t in todo]
             self.files.extend(f for f in results if f)
