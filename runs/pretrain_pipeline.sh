@@ -1,0 +1,68 @@
+#!/bin/bash
+# Pretrain -> finetune -> screen pipeline (round 3, data-scale arm).
+#
+# Arm design: identical to runs/heldout_aug2 (12 train / 3 held-out ligands,
+# --phore_augment 3 --conf_augment 3) EXCEPT the score model is initialized
+# from a ligand-only pretrain on the 594-ligand synthetic library
+# (runs/pretrain_synth/train594.csv) via --pretrain_model_pt.  Measures
+# whether synthetic-library pretraining (the reference's ChEMBL/ZINC mode,
+# src/datasets/pdbbind_phore.py ligandOnly_preprocessing) moves the held-out
+# tail (STL582276, 3.94 A best-of-40 in heldout_aug2) below 2 A.
+#
+# Each phase commits its own artifacts so results survive session restarts.
+set -u
+cd /root/repo
+LOG=runs/pretrain_pipeline.log
+commit_phase () {
+  git add -A "$@" runs/pretrain_pipeline.sh 2>>$LOG
+  git commit -m "$PHASE_MSG" >>$LOG 2>&1 || echo "[pipeline] commit failed for: $PHASE_MSG" >>$LOG
+}
+
+echo "[pipeline] phase A: ligand-only pretrain (594 synthetic ligands)" >>$LOG
+python -m diffphore_tpu.cli.train \
+  --train_csv runs/pretrain_synth/train594.csv \
+  --val_csv runs/pretrain_synth/val6.csv \
+  --ligand_only \
+  --batch_size 24 --lr 1e-3 --n_epochs 350 \
+  --val_inference_freq 100 --inference_samples 8 \
+  --val_loss_freq 10 --ckpt_freq 25 \
+  --run_dir runs/pretrain_synth/full \
+  >> runs/pretrain_synth/full.launch.log 2>&1
+rcA=$?
+echo "[pipeline] phase A rc=$rcA" >>$LOG
+PHASE_MSG="Ligand-only pretrain on the 594-ligand synthetic library (350 epochs, bs 24): committed metrics/config for the pretrain->finetune data-scale arm"
+commit_phase runs/pretrain_synth/full
+[ $rcA -ne 0 ] && exit $rcA
+
+echo "[pipeline] phase B: heldout finetune from pretrained init" >>$LOG
+python -m diffphore_tpu.cli.train \
+  --train_csv runs/heldout_aug2/train15x.csv \
+  --val_csv runs/heldout/val3.csv \
+  --phore_augment 3 --conf_augment 3 \
+  --batch_size 6 --lr 1e-3 --n_epochs 2000 \
+  --pretrain_model_pt runs/pretrain_synth/full/last_model.msgpack \
+  --val_inference_freq 100 --inference_samples 8 \
+  --val_loss_freq 10 --ckpt_freq 25 \
+  --run_dir runs/heldout_pre \
+  >> runs/heldout_pre.launch.log 2>&1
+rcB=$?
+echo "[pipeline] phase B rc=$rcB" >>$LOG
+PHASE_MSG="Held-out fine-tune from the synthetic pretrain (heldout_aug2 recipe + --pretrain_model_pt): committed metrics/config"
+commit_phase runs/heldout_pre
+[ $rcB -ne 0 ] && exit $rcB
+
+echo "[pipeline] phase C: 40-pose screen of the 3 held-out ligands" >>$LOG
+python -m diffphore_tpu.cli.inference \
+  --phore_ligand_csv runs/heldout/val3.csv \
+  --model_dir runs/heldout_pre \
+  --out_dir runs/heldout_pre/screen \
+  --sample_per_complex 40 --batch_complexes 3 \
+  >> runs/heldout_pre.launch.log 2>&1
+rcC=$?
+python analysis/heldout_screen_eval.py --screen runs/heldout_pre/screen \
+  --csv runs/heldout/val3.csv > runs/heldout_pre/screen_eval.txt 2>&1
+cat runs/heldout_pre/screen_eval.txt >>$LOG
+echo "[pipeline] phase C rc=$rcC" >>$LOG
+PHASE_MSG="Held-out screen for the pretrain->finetune arm (40 poses, best-EMA): ranked results + RMSD eval vs heldout_aug2"
+commit_phase runs/heldout_pre
+echo "[pipeline] done" >>$LOG
