@@ -105,13 +105,19 @@ def main(argv=None) -> None:
             continue
         if args.allow_random_init and i == 0:
             engine.calibrate_batch_stats(batch)
+        # exclude XLA compile (the bucket-warming dispatch inside
+        # _run_batch_inference) from the per-complex run_time artifact:
+        # the reference's run_time is steady-state work per complex
+        # (inference.py:196,224) and one compile-polluted row skewed
+        # run_times_std ~30x over the mean
+        c0 = engine.timers.totals["compile"]
         t0 = time.time()
         try:
             poses, fits, conf = _run_batch_inference(engine, batch)
         except Exception as e:  # noqa: BLE001
             log_warn(f"{batch.names[0]}: sampling failed ({e}), skipped")
             continue
-        run_times.append(time.time() - t0)
+        run_times.append(time.time() - t0 - (engine.timers.totals["compile"] - c0))
         n_atoms = int(meta["n_atoms"])
         orig = np.asarray(meta["orig_pos"])[:n_atoms]
         mol = None

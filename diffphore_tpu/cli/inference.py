@@ -224,6 +224,7 @@ def fit(args, engine: FitEngine, records: List[Dict], result_file: str) -> Dict:
     def flush():
         if not pending:
             return
+        c0 = engine.timers.totals["compile"]
         t0 = time.time()
         try:
             results = engine.run_complexes([j for j, _ in pending])
@@ -239,7 +240,11 @@ def fit(args, engine: FitEngine, records: List[Dict], result_file: str) -> Dict:
                 except Exception as e2:  # noqa: BLE001
                     log_error(f"Sampling failed for {job.name}: {e2}")
                     results.append(None)
-        per = (time.time() - t0) / len(pending)
+        # report steady-state work: the bucket-warming compile dispatch
+        # inside run_complexes is accounted in the engine's "compile" phase
+        # timer and excluded here (reference run_time, inference.py:196)
+        compile_s = engine.timers.totals["compile"] - c0
+        per = max(time.time() - t0 - compile_s, 0.0) / len(pending)
         for (job, t_feat), result in zip(pending, results):
             if result is None:
                 continue

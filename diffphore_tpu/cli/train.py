@@ -297,10 +297,11 @@ def build_datasets(args):
             for j in range(1, args.conf_augment + 1)
         ]
     train = PhoreDataset(train_records, settings, args.cache_path,
-                         args.num_dataloader_workers, name="train")
+                         args.num_dataloader_workers, name="train",
+                         ram_cache=True)
     val = (
         PhoreDataset(val_records, settings, args.cache_path,
-                     args.num_dataloader_workers, name="val")
+                     args.num_dataloader_workers, name="val", ram_cache=True)
         if val_records else None
     )
     return train, val
@@ -319,7 +320,7 @@ def val_inference(engine_cfg, variables, val_dataset, args,
         settings=SamplerSettings(inference_steps=args.inference_steps),
         seed=args.seed,
     )
-    rmsds, fits = [], []
+    rmsds, fits, clashes = [], [], []
     n = min(len(val_dataset),
             max_complexes if max_complexes else args.num_inference_complexes)
     for i in range(n):
@@ -339,12 +340,23 @@ def val_inference(engine_cfg, variables, val_dataset, args,
         best = int(np.argmax(fit))
         rmsds.append(r[best])
         fits.append(max(fit))
+        # exclusion clash of the delivered (fitscore-ranked top-1) pose:
+        # <1 A to any EX sphere center (reference evaluate.py:350-370)
+        ex_mask = (np.asarray(batch.phoretype[0, :, -1] == 1)
+                   & np.asarray(batch.phore_mask[0]))
+        if ex_mask.any():
+            ex = (np.asarray(batch.phore_pos[0])[ex_mask]
+                  + np.asarray(batch.orig_center[0]))
+            d = np.linalg.norm(
+                poses[best][:n_atoms, None, :] - ex[None, :, :], axis=-1)
+            clashes.append(float(d.min() < 1.0))
     rmsds = np.asarray(rmsds) if rmsds else np.asarray([np.inf])
     return {
         "valinf_rmsds_lt2": float((rmsds < 2).mean()),
         "valinf_rmsds_lt5": float((rmsds < 5).mean()),
         "valinf_mean_rmsd": float(np.mean(rmsds)),
         "valinf_mean_fitscore": float(np.mean(fits)) if fits else -2.0,
+        "valinf_clash_fraction": float(np.mean(clashes)) if clashes else 0.0,
         "valinf_n": len(rmsds),
     }
 
@@ -372,9 +384,18 @@ def _run_batch_inference(engine, batch):
     # compile_bucket consumes row-batched PhoreArrays (one row per pose)
     ref = jax.tree_util.tree_map(
         lambda x: np.repeat(np.asarray(x)[None], engine.n, axis=0), ref)
-    run = engine.compile_bucket((b.num_atoms, b.num_phore, b.num_torsions))
+    sig = (b.num_atoms, b.num_phore, b.num_torsions)
+    run = engine.compile_bucket(sig, engine.n)  # rows = n poses, 1 complex
+    clean = b.replace(names=(), meta=())
+    if (sig, engine.n) not in engine._warmed:
+        # compile-warming dispatch (discarded) so callers timing this
+        # function see steady-state work, not the XLA compile
+        with engine.timers.phase("compile"):
+            engine.key, sub = jax.random.split(engine.key)
+            jax.block_until_ready(run(engine.variables, clean, ref, sub))
+        engine._warmed.add((sig, engine.n))
     engine.key, sub = jax.random.split(engine.key)
-    pos, scores, _ = run(engine.variables, b.replace(names=(), meta=()), ref, sub)
+    pos, scores, _ = run(engine.variables, clean, ref, sub)
     pos = np.asarray(pos)
     center = np.asarray(batch.orig_center[0])
     conf = (np.asarray(scores["confidence"]).tolist()
@@ -726,7 +747,11 @@ def main(argv=None) -> None:
                                         args.epoch_from_infer, args.dynamic_coeff)
             elif epoch >= args.epoch_from_infer:
                 p_cc = args.rate_from_infer
-        use_cc = cc_step_jit is not None and p_cc > 0
+        # floor gate: the sigmoid dynamic_schedule is >0 from epoch 0 (e.g.
+        # 0.002 at epoch 0 with the shipped u=300/c=6 recipe), but the CC
+        # step runs an extra model forward for ALL rows; engaging it for a
+        # <1% branch probability costs ~1.5x wall per epoch for nothing
+        use_cc = cc_step_jit is not None and p_cc > 0.01
         meter = AverageMeter(["loss", "tr_loss", "rot_loss", "tor_loss"])
         t0 = time.time()
         # reference sample_modification curriculum: y = cofactor *

@@ -25,9 +25,14 @@ MODEL_PARAMS_YAML = "model_parameters.yml"
 
 
 def save_variables(variables: Any, path: str) -> None:
+    # write-to-temp + atomic rename: watchers/snapshotters read this file
+    # concurrently (and a container recycle can land mid-write), so the
+    # visible file must always be a complete checkpoint
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(variables))
+    os.replace(tmp, path)
 
 
 def _migrate_fc_params(node: Any) -> Any:

@@ -4,22 +4,34 @@
 # container resumes training/inference without the 2-4 min table build and
 # the multi-minute TPU recompiles.
 #
-#   bash runs/host_cache_sync.sh pull   # repo -> home (run BEFORE any jax job)
-#   bash runs/host_cache_sync.sh push   # home -> repo + commit (periodic)
+#   bash runs/host_cache_sync.sh pull   # ref/tree -> home (run BEFORE any jax job)
+#   bash runs/host_cache_sync.sh push   # home -> single force-updated ref (periodic)
 #
-# The repo copy lives in data/cache/host/ (force-added; data/cache is
-# gitignored).  push skips committing when the tree copy exceeds 120 MB --
-# the compile cache is an optimization, not an artifact.
+# ADVICE r3: snapshots no longer land in main history (the old scheme grew
+# the repo by 19-91 MB of mutating binary blobs per snapshot).  push writes
+# the cache tree to the ORPHAN ref refs/cache/host via plumbing (temp index
+# -> write-tree -> commit-tree -> update-ref): exactly one snapshot is ever
+# reachable, superseded blobs become garbage, and main history stays code.
+# pull restores from that ref and uses cp -ru so stale home-cache files are
+# refreshed, not skipped.
 set -u
 cd /root/repo
 HOME_CACHE="$HOME/.cache/diffphore_tpu"
 REPO_CACHE="data/cache/host"
+REF=refs/cache/host
 
 case "${1:-}" in
   pull)
+    if [ ! -d "$REPO_CACHE" ] && git rev-parse -q --verify "$REF" >/dev/null; then
+      TMPIDX=$(mktemp -u)
+      GIT_INDEX_FILE=$TMPIDX git read-tree "$REF"
+      GIT_INDEX_FILE=$TMPIDX git checkout-index -a -f --prefix=./
+      rm -f "$TMPIDX"
+      echo "[cache_sync] restored $REPO_CACHE from $REF"
+    fi
     [ -d "$REPO_CACHE" ] || { echo "[cache_sync] nothing to pull"; exit 0; }
     mkdir -p "$HOME_CACHE"
-    cp -rn "$REPO_CACHE"/. "$HOME_CACHE"/ 2>/dev/null
+    cp -ru "$REPO_CACHE"/. "$HOME_CACHE"/ 2>/dev/null
     echo "[cache_sync] pulled $(du -sh "$HOME_CACHE" | cut -f1) into $HOME_CACHE"
     ;;
   push)
@@ -27,16 +39,22 @@ case "${1:-}" in
     mkdir -p "$REPO_CACHE"
     cp -ru "$HOME_CACHE"/. "$REPO_CACHE"/ 2>/dev/null
     SZ_KB=$(du -sk "$REPO_CACHE" | cut -f1)
-    if [ "$SZ_KB" -gt 122880 ]; then
-      echo "[cache_sync] $REPO_CACHE is ${SZ_KB}K (>120M), not committing"
+    if [ "$SZ_KB" -gt 262144 ]; then
+      echo "[cache_sync] $REPO_CACHE is ${SZ_KB}K (>256M), not snapshotting"
       exit 0
     fi
-    git add -f "$REPO_CACHE" >/dev/null 2>&1
-    git commit -q -m "host-cache snapshot: SO(3)/torus tables + XLA compile cache (${SZ_KB}K)
-
-No-Verification-Needed: cache files only, no code change" 2>/dev/null \
-      && echo "[cache_sync] committed ${SZ_KB}K" \
-      || echo "[cache_sync] nothing new to commit"
+    TMPIDX=$(mktemp -u)
+    GIT_INDEX_FILE=$TMPIDX git add -f "$REPO_CACHE" 2>/dev/null
+    TREE=$(GIT_INDEX_FILE=$TMPIDX git write-tree)
+    rm -f "$TMPIDX"
+    if git rev-parse -q --verify "$REF" >/dev/null && \
+       [ "$(git rev-parse "$REF^{tree}")" = "$TREE" ]; then
+      echo "[cache_sync] nothing new to snapshot"
+      exit 0
+    fi
+    COMMIT=$(git commit-tree "$TREE" -m "host-cache snapshot (${SZ_KB}K)")
+    git update-ref "$REF" "$COMMIT"
+    echo "[cache_sync] $REF -> ${SZ_KB}K snapshot (outside main history)"
     ;;
   *)
     echo "usage: $0 {pull|push}"; exit 1;;
