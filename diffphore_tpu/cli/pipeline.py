@@ -85,6 +85,8 @@ class FitEngine:
         self.confidence = confidence
         self.timers = PhaseTimers()
         self._compiled: Dict[Tuple[int, int, int], callable] = {}
+        #: buckets dispatched at least once (first dispatch = XLA compile)
+        self._warmed: set = set()
 
     # ------------------------------------------------------------ featurize
     def load_ligand(self, description: str, keep_local_structures: bool = True) -> Optional[Molecule]:
@@ -163,19 +165,25 @@ class FitEngine:
         self.variables = jax.tree_util.tree_map(lambda x: x, variables)
         log_info("Batch-stats calibration done (random-init mode)")
 
-    def compile_bucket(self, shapes: Tuple[int, int, int]):
+    def compile_bucket(self, shapes: Tuple[int, int, int],
+                       pose_group: int = 1):
         """Public stable API: the jitted (variables, batch, ref, key) ->
         (positions, score dict, trajectory|None) sampler for one
-        (A, P, T) shape bucket.  Cached per bucket.
+        (A, P, T) shape bucket.  Cached per (bucket, pose_group).
 
         ``ref`` is row-batched (leading axis == batch rows): rows of one
         complex repeat its PhoreArrays, and a multi-complex dispatch packs
         poses x complexes as rows of one device batch (the reference scales
         this with DataParallel scatter, inference.py:26; here it is one
         batch, optionally sharded over the mesh).
+
+        ``pose_group``: rows per complex (complex-major packing); lets the
+        model factor pose-invariant phore tensors per complex (encoder
+        pose_group docstring).  Exact; 1 disables.
         """
-        if shapes in self._compiled:
-            return self._compiled[shapes]
+        key_ = (shapes, pose_group)
+        if key_ in self._compiled:
+            return self._compiled[key_]
 
         settings, cfg, model = self.settings, self.cfg, self.model
         ura = self.use_running_average
@@ -190,7 +198,8 @@ class FitEngine:
 
         def run(variables, batch, ref: PhoreArrays, key):
             def score_fn(b):
-                return model.apply(variables, b, use_running_average=ura)
+                return model.apply(variables, b, use_running_average=ura,
+                                   pose_group=pose_group)
 
             vdw = jnp.asarray(VDW_TABLE)[batch.lig_feat[..., 0]]  # (B, A)
             # the scorer consumes the AncPhore-calibrated fingerprint;
@@ -228,7 +237,7 @@ class FitEngine:
                            out_shardings=None)
         else:
             jrun = jax.jit(run)
-        self._compiled[shapes] = jrun
+        self._compiled[key_] = jrun
         return jrun
 
     # backwards-compatible alias (was private; cli/train.py consumed it)
@@ -245,10 +254,19 @@ class FitEngine:
         )
 
     def run_complexes(self, jobs: List["ComplexJob"]) -> List[Dict]:
-        """Sample + score a group of complexes in as few device dispatches
-        as possible: same-bucket complexes are packed into one batch with
-        poses x complexes as rows.  Returns one result dict per job, in
-        input order (same schema as run_complex)."""
+        """Sample + score a group of complexes.  Returns one result dict per
+        job, in input order (same schema as run_complex).
+
+        Dispatch strategy (single device): ONE dispatch per complex (n pose
+        rows), all dispatches in flight before the first blocking pull - the
+        device pipeline hides the per-dispatch tunnel latency, and small
+        dispatches have measurably lower per-pose cost than a packed
+        poses x complexes mega-batch (v5e, shipped model: 24-row dispatches
+        run 378 poses/s vs 233 for one 192-row batch - the per-pose step
+        cost RISES with rows on this HBM-bound model, so packing 8 complexes
+        into one dispatch was 1.6x slower than pipelining 8 small ones).
+        On a mesh, same-bucket complexes still pack into one sharded batch
+        (rows must cover the device axis)."""
         by_shape: Dict[Tuple[int, int, int], List[int]] = {}
         for i, job in enumerate(jobs):
             b = job.batch
@@ -256,6 +274,48 @@ class FitEngine:
                 (b.num_atoms, b.num_phore, b.num_torsions), []
             ).append(i)
         results: List[Optional[Dict]] = [None] * len(jobs)
+        if self.mesh is None:
+            in_flight = []
+            for shapes, idxs in by_shape.items():
+                run = self.compile_bucket(shapes, self.n)
+                for i in idxs:
+                    job = jobs[i]
+                    batch = repeat_batch(job.batch, self.n).replace(
+                        names=(), meta=())
+                    ref = self._row_refs([job], self.n)
+                    if (shapes, self.n) not in self._warmed:
+                        # compile-warming dispatch, discarded (see the
+                        # mesh path below for the run_time rationale)
+                        with self.timers.phase("compile"):
+                            self.key, sub = jax.random.split(self.key)
+                            jax.block_until_ready(
+                                run(self.variables, batch, ref, sub))
+                        self._warmed.add((shapes, self.n))
+                    self.key, sub = jax.random.split(self.key)
+                    with self.timers.phase("dispatch"):
+                        out = run(self.variables, batch, ref, sub)
+                    in_flight.append((i, job, out))
+            for i, job, (pos, scores, traj) in in_flight:
+                with self.timers.phase("denoise"):
+                    pos = np.asarray(jax.block_until_ready(pos))
+                scores = {k: np.asarray(v) for k, v in scores.items()}
+                n_atoms = job.mol.num_atoms
+                center = np.asarray(job.batch.orig_center[0])
+                fit = np.asarray(fitness_by_index(scores, self.fitness))
+                result = {
+                    "name": job.name,
+                    "poses": pos[:, :n_atoms, :] + center,
+                    "fitscore": [float(x) for x in fit],
+                    "scores": scores,
+                }
+                if "confidence" in scores:
+                    result["confidence"] = [
+                        float(x) for x in scores["confidence"]]
+                if traj is not None:
+                    result["trajectory"] = (
+                        np.asarray(traj)[:, :, :n_atoms, :] + center)
+                results[i] = result
+            return results
         for shapes, idxs in by_shape.items():
             group = [jobs[i] for i in idxs]
             batch = concat_batches([repeat_batch(j.batch, self.n) for j in group])
@@ -280,9 +340,25 @@ class FitEngine:
                 )
                 batch = jax.tree_util.tree_map(wrap_pad, batch)
                 ref = jax.tree_util.tree_map(wrap_pad, ref)
-            first = shapes not in self._compiled
-            with self.timers.phase("compile" if first else "denoise"):
-                run = self.compile_bucket(shapes)
+            # pose-invariant factoring applies when every pose group is
+            # whole and aligned: packing is complex-major with self.n rows
+            # each, and the wrap-pad block (consecutive rows from the front)
+            # preserves that exactly when pad is a multiple of n
+            pg = self.n if (self.n > 1 and pad % self.n == 0) else 1
+            first = (shapes, pg) not in self._warmed
+            if first:
+                # warm-up dispatch: XLA compiles on the first call with a
+                # bucket's shapes, so run once untimed and discard - keeps
+                # every reported run_time at steady state (the reference's
+                # run_time semantics are per-complex work, inference.py:196;
+                # a compile-polluted first row skewed run_times_std 30x)
+                with self.timers.phase("compile"):
+                    run = self.compile_bucket(shapes, pg)
+                    self.key, sub = jax.random.split(self.key)
+                    jax.block_until_ready(run(self.variables, batch, ref, sub))
+                self._warmed.add((shapes, pg))
+            with self.timers.phase("denoise"):
+                run = self.compile_bucket(shapes, pg)
                 self.key, sub = jax.random.split(self.key)
                 pos, scores, traj = run(self.variables, batch, ref, sub)
                 pos = np.asarray(jax.block_until_ready(pos))[:n_rows]

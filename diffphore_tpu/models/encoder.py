@@ -94,10 +94,23 @@ class LigPhoreEncoder(nn.Module):
         return seq[min(self.num_conv_layers, len(seq) - 1)]
 
     @nn.compact
-    def __call__(self, batch, sigma_emb, deterministic=True, use_running_average=True):
+    def __call__(self, batch, sigma_emb, deterministic=True, use_running_average=True,
+                 pose_group: int = 1):
         """Args:
           batch: ComplexBatch.
           sigma_emb: (B, sigma_embed_dim) per-graph diffusion-time embedding.
+          pose_group: static pose-factoring hint for screen dispatches whose
+            rows are ``pose_group`` poses of each complex, complex-major
+            (FitEngine.run_complexes packing).  Phore-side tensors - the
+            phore node/edge embeddings, edge SH, and the ENTIRE layer-0
+            phore-phore conv - depend only on (phore, sigma), which is
+            identical across the poses of one complex at a shared diffusion
+            time, so they are computed once per complex (B/pose_group rows)
+            and broadcast back (VERDICT r3 item 5; the (B, P, P, .)
+            phore-edge tensors are the top HBM buffers at screen shapes,
+            analysis/HBM_FLOOR.md).  Exact - not an approximation.  Ignored
+            (=1) in training mode, when B is not divisible, or with
+            use_att/phore_knn (those paths break the invariance/indexing).
         Returns:
           (lig_node_attr (B, A, D_out), phore_node_attr (B, P, D_phore)).
         """
@@ -106,6 +119,12 @@ class LigPhoreEncoder(nn.Module):
         P = batch.phore_pos.shape[1]
         lig_mask = batch.lig_mask
         phore_mask = batch.phore_mask
+        pg = int(pose_group) if pose_group else 1
+        if pg > 1 and (B % pg or not use_running_average or self.use_att
+                       or self.phore_knn):
+            pg = 1
+        rep = slice(None, None, pg)  # representative row of each pose group
+        rep_b = (lambda x: jnp.repeat(x, pg, axis=0)) if pg > 1 else (lambda x: x)
 
         lig_dist_exp = GaussianSmearing(0.0, self.lig_max_radius, self.distance_embed_dim, name="lig_distance_expansion")
         phore_dist_exp = GaussianSmearing(0.0, self.phore_max_radius, self.distance_embed_dim, name="phore_distance_expansion")
@@ -139,15 +158,21 @@ class LigPhoreEncoder(nn.Module):
         ]
         lig_edge_sh = spherical_harmonics_lmax2(lig_vec)
 
-        # ---------------- phore graph
-        phore_cat = batch.phore_x[..., :3].astype(jnp.int32)
-        phore_node_attr = CategoricalEncoder(
+        # ---------------- phore graph (computed on the C = B/pg
+        # representative rows; pg == 1 makes every slice/broadcast identity)
+        C = B // pg
+        phore_cat = batch.phore_x[rep, :, :3].astype(jnp.int32)
+        phore_sigma_c = phore_sigma[rep]
+        phore_mask_c = phore_mask[rep]
+        phore_node_attr_c = CategoricalEncoder(
             ns, PHORE_FEATURE_DIMS[0], num_scalars=2 + self.sigma_embed_dim,
             name="phore_node_embedding",
-        )(phore_cat, jnp.concatenate([batch.phore_x[..., 3:], phore_sigma], -1))
-        p_vec = batch.phore_pos[:, None, :, :] - batch.phore_pos[:, :, None, :]
+        )(phore_cat, jnp.concatenate([batch.phore_x[rep, :, 3:], phore_sigma_c], -1))
+        phore_pos_c = batch.phore_pos[rep]
+        p_vec = phore_pos_c[:, None, :, :] - phore_pos_c[:, :, None, :]
         p_d = jnp.linalg.norm(p_vec, axis=-1)
-        p_pair_mask = batch.phore_edge_mask & phore_mask[:, :, None] & phore_mask[:, None, :]
+        p_pair_mask_c = (batch.phore_edge_mask[rep]
+                         & phore_mask_c[:, :, None] & phore_mask_c[:, None, :])
         # KNN compaction: the phore topology is sparse (reference
         # get_phore_graph radius rule for EX nodes), so gather each
         # receiver's K nearest masked senders and run every phore-phore
@@ -157,20 +182,24 @@ class LigPhoreEncoder(nn.Module):
         # in-degree; otherwise the farthest neighbors drop first.
         phore_nbr = None
         if 0 < self.phore_knn < P:
-            sel = jnp.where(p_pair_mask, p_d, jnp.inf)
+            sel = jnp.where(p_pair_mask_c, p_d, jnp.inf)
             _, nbr = jax.lax.top_k(-sel, self.phore_knn)  # (B, P, K)
             bidx = jnp.arange(B)[:, None, None]
             phore_nbr = (bidx, nbr)
-            p_pair_mask = jnp.take_along_axis(p_pair_mask, nbr, axis=2)
-            p_vec = batch.phore_pos[bidx, nbr] - batch.phore_pos[:, :, None, :]
+            p_pair_mask_c = jnp.take_along_axis(p_pair_mask_c, nbr, axis=2)
+            p_vec = phore_pos_c[bidx, nbr] - phore_pos_c[:, :, None, :]
             p_d = jnp.take_along_axis(p_d, nbr, axis=2)
         M_p = p_d.shape[-1]  # P (dense) or K (compacted)
         p_attr = jnp.concatenate(
-            [jnp.broadcast_to(phore_sigma[:, :, None, :], (B, P, M_p, self.sigma_embed_dim)),
+            [jnp.broadcast_to(phore_sigma_c[:, :, None, :], (C, P, M_p, self.sigma_embed_dim)),
              phore_dist_exp(p_d)], -1)
-        phore_edge_attr = MLP(ns, ns, self.dropout, name="phore_edge_embedding")(
+        phore_edge_attr_c = MLP(ns, ns, self.dropout, name="phore_edge_embedding")(
             p_attr, deterministic=deterministic)
-        phore_edge_sh = spherical_harmonics_lmax2(p_vec)
+        phore_edge_sh_c = spherical_harmonics_lmax2(p_vec)
+        phore_node_attr = rep_b(phore_node_attr_c)
+        phore_edge_attr = rep_b(phore_edge_attr_c)
+        phore_edge_sh = rep_b(phore_edge_sh_c)
+        p_pair_mask = rep_b(p_pair_mask_c)
 
         # ---------------- geometric attention (use_att branch,
         # score_model_phore.py:938-975): Trioformer-updated node features and
@@ -241,18 +270,31 @@ class LigPhoreEncoder(nn.Module):
 
             phore_intra = phore_inter = phore_inter_norm = 0.0
             if l != self.num_conv_layers - 1:
-                if phore_nbr is None:
-                    send_sc = phore_sc
-                    phore_sender = phore_node_attr
+                if l == 0 and pg > 1:
+                    # layer-0 phore conv is pose-invariant: before any cross
+                    # message arrives, phore node attrs depend only on
+                    # (phore, sigma) - run the whole (C, P, P) conv on the
+                    # representative rows and broadcast the (C, P, D) result
+                    phore_sc_c = phore_node_attr_c[..., :ns]
+                    p_attr_c = edge_attr(
+                        (phore_edge_attr_c, phore_sc_c, phore_sc_c),
+                        ("e", "r", "s"))
+                    phore_intra = rep_b(conv("phore_conv", l)(
+                        phore_node_attr_c, p_attr_c, phore_edge_sh_c,
+                        p_pair_mask_c, receiver_mask=phore_mask_c, **kw))
                 else:
-                    bidx, nbr = phore_nbr
-                    send_sc = phore_sc[bidx, nbr]            # (B, P, K, ns)
-                    phore_sender = phore_node_attr[bidx, nbr]
-                p_attr_ = edge_attr(
-                    (phore_edge_attr, phore_sc, send_sc), ("e", "r", "s"))
-                phore_intra = conv("phore_conv", l)(
-                    phore_sender, p_attr_, phore_edge_sh, p_pair_mask,
-                    receiver_mask=phore_mask, **kw)
+                    if phore_nbr is None:
+                        send_sc = phore_sc
+                        phore_sender = phore_node_attr
+                    else:
+                        bidx, nbr = phore_nbr
+                        send_sc = phore_sc[bidx, nbr]        # (B, P, K, ns)
+                        phore_sender = phore_node_attr[bidx, nbr]
+                    p_attr_ = edge_attr(
+                        (phore_edge_attr, phore_sc, send_sc), ("e", "r", "s"))
+                    phore_intra = conv("phore_conv", l)(
+                        phore_sender, p_attr_, phore_edge_sh, p_pair_mask,
+                        receiver_mask=phore_mask, **kw)
                 # phore <- ligand: transpose the cross grids (part order in
                 # the transposed concat keeps lig_sc before phore_sc, so the
                 # axis tags swap rather than the parts)

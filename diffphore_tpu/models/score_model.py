@@ -125,8 +125,13 @@ class ScoreModel(nn.Module):
     cfg: ScoreModelConfig
 
     @nn.compact
-    def __call__(self, batch, deterministic: bool = True, use_running_average: bool = True):
-        """ComplexBatch -> (tr_pred (B,3), rot_pred (B,3), tor_pred (B,T))."""
+    def __call__(self, batch, deterministic: bool = True, use_running_average: bool = True,
+                 pose_group: int = 1):
+        """ComplexBatch -> (tr_pred (B,3), rot_pred (B,3), tor_pred (B,T)).
+
+        ``pose_group``: static hint that rows are pose_group poses per
+        complex (complex-major); enables exact pose-invariant factoring of
+        the phore-side tensors in the encoder (see LigPhoreEncoder)."""
         cfg = self.cfg
         ns = cfg.ns
         B, A = batch.lig_pos.shape[:2]
@@ -163,7 +168,7 @@ class ScoreModel(nn.Module):
         )
         lig_attr, _ = encoder(
             batch, sigma_emb, deterministic=deterministic,
-            use_running_average=use_running_average,
+            use_running_average=use_running_average, pose_group=pose_group,
         )
         lig_irreps = encoder.out_irreps
 

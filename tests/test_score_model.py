@@ -160,3 +160,41 @@ def test_linear_magnitude_head(complex_batch):
                                rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(rotate(rot)), np.asarray(rot2),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_pose_group_factoring_exact():
+    """pose_group factoring (compute pose-invariant phore tensors once per
+    complex, broadcast over poses) is EXACT: a screen-packed batch of
+    2 complexes x 4 poses scores identically with pose_group=4 and
+    pose_group=1 (VERDICT r3 item 5)."""
+    from diffphore_tpu.data.graphs import concat_batches
+    from diffphore_tpu.data.phore_sampling import random_ligand_phore
+
+    mol1 = parse_sdf(LIG)[0].remove_hs()
+    mol2 = parse_sdf("/root/reference/examples/ligands/STK930543.sdf")[0].remove_hs()
+    phore1 = parse_phore(SQC)[0]
+    phore2 = random_ligand_phore(mol2, "p2", num_ex=3, seed=7)
+    # common bucket pads so the complexes concatenate into one batch
+    c1 = build_complex("c1", mol1, phore1, a_pad=32, p_pad=112, t_pad=8)
+    c2 = build_complex("c2", mol2, phore2, a_pad=32, p_pad=112, t_pad=8)
+    batch = concat_batches([repeat_batch(c1, 4), repeat_batch(c2, 4)])
+    batch = batch.replace(t=jnp.full((8,), 0.35, jnp.float32))
+    # poses of one complex differ in ligand coordinates only
+    key = jax.random.PRNGKey(3)
+    jitter = 0.3 * jax.random.normal(key, batch.lig_pos.shape)
+    batch = batch.replace(lig_pos=batch.lig_pos + jitter)
+
+    model = ScoreModel(CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    # populate batchnorm running stats so eval mode is numerically sane
+    for _ in range(5):
+        _, st = model.apply(variables, batch, use_running_average=False,
+                            mutable=["batch_stats"])
+        variables = {**variables, "batch_stats": st["batch_stats"]}
+
+    out_ref = model.apply(variables, batch, use_running_average=True)
+    out_fac = model.apply(variables, batch, use_running_average=True,
+                          pose_group=4)
+    for a, b in zip(out_ref, out_fac):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
