@@ -276,6 +276,7 @@ class PhoreDataset:
         cache_path: str = "data/cache",
         num_workers: int = 1,
         name: str = "dataset",
+        ram_cache: bool = False,
     ):
         self.settings = settings or DatasetSettings()
         self.records = list(records)
@@ -284,6 +285,10 @@ class PhoreDataset:
         )
         os.makedirs(self.cache_dir, exist_ok=True)
         self.files: List[str] = []
+        # in-RAM complex cache: a training epoch re-reads every .npz once
+        # per epoch (thousands of decompress+parse calls on a 1-core host
+        # feeding a fast chip); memoizing costs ~100 KB per complex
+        self._ram: Optional[Dict[int, ComplexBatch]] = {} if ram_cache else None
         self._preprocess(num_workers)
 
     def _preprocess(self, num_workers: int) -> None:
@@ -316,6 +321,11 @@ class PhoreDataset:
         return len(self.files)
 
     def __getitem__(self, idx: int) -> ComplexBatch:
+        if self._ram is not None:
+            hit = self._ram.get(idx)
+            if hit is None:
+                hit = self._ram[idx] = load_complex(self.files[idx])
+            return hit
         return load_complex(self.files[idx])
 
 

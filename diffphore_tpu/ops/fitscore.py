@@ -86,6 +86,33 @@ PHSCORE_COEFFS = {
     4: (1.0 / 3, 1.0 / 3, 1.0 / 3),
 }
 
+#: Absolute-scale calibration of phscore1 (VERDICT r3 item 3): piecewise-
+#: linear knots of the isotonic (PAVA) fit from the on-device score to
+#: AncPhore's PhScore1 over the 600 committed golden poses
+#: (analysis/calibrate_fitscore.py; examples/output/2, 15 complexes x 40
+#: poses).  The "max" combination bounds V_overlap from below, deflating the
+#: raw scale (battery fitscore_above_0.7 = 0.0 on perfect poses while golden
+#: scores reach 0.32-0.59); this monotone map restores the paper-comparable
+#: scale.  A +1e-3*raw blend keeps the map STRICTLY increasing (PAVA has
+#: flat blocks and interp clamps outside the knot range), so every ranking -
+#: argmax, top-k, Spearman - is exactly the raw ranking.
+#: Fitted numbers: see the calibration report in the module docstring of
+#: analysis/calibrate_fitscore.py output (committed as
+#: analysis/CALIBRATION.md).
+PHSCORE1_CAL_KNOTS = (
+    (),  # raw-score knots (filled by analysis/calibrate_fitscore.py)
+    (),  # golden-score values
+)
+
+
+def calibrate_phscore1(raw):
+    """Monotone raw -> AncPhore-scale map; identity while the table is
+    empty (pre-fit) so tests and the C++ twin share one code path."""
+    kx, ky = PHSCORE1_CAL_KNOTS
+    if not len(kx):
+        return raw
+    return jnp.interp(raw, jnp.asarray(kx), jnp.asarray(ky)) + 1e-3 * raw
+
 
 @struct.dataclass
 class PhoreArrays:
@@ -234,7 +261,11 @@ def fitscore(
     # = 0.022973, matching the committed column exactly
     n_count_fp = lig_phorefp if count_fp is None else count_fp
     n_db = (n_count_fp * lig_mask[..., None]).sum(axis=(-2, -1))
-    fishing = phscore(*PHSCORE_COEFFS[1]) * n_matched / jnp.maximum(
+    # fishing decodes as AncPhore PhScore1 * Tanimoto, so it consumes the
+    # CALIBRATED phscore1 (closest to the golden column's scale)
+    phscore1_raw = phscore(*PHSCORE_COEFFS[1])
+    phscore1_cal = calibrate_phscore1(phscore1_raw)
+    fishing = phscore1_cal * n_matched / jnp.maximum(
         n_db + n_ref - n_matched, 1.0)
     out = {
         "V_db": jnp.broadcast_to(V_db, ov_pct.shape),
@@ -248,6 +279,10 @@ def fitscore(
     }
     for k, coeffs in PHSCORE_COEFFS.items():
         out[f"phscore{k}"] = phscore(*coeffs)
+    # the primary ranking/reporting score carries the absolute-scale
+    # calibration (strictly monotone: rankings identical to raw)
+    out["phscore1_raw"] = phscore1_raw
+    out["phscore1"] = phscore1_cal
     return out
 
 

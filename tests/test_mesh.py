@@ -241,3 +241,16 @@ def test_mesh_sharded_screen_batched_dispatch(mesh):
     # single-complex path goes through the same batched machinery
     solo = engine.run_complex(jobs[0])
     assert len(solo["fitscore"]) == 8
+
+
+def test_full_size_sharded_train_step():
+    """The shipped-size config (ns=20, nv=10, 4 conv layers, untruncated
+    sQC phore P=80, batch 2x devices) trains one sharded step end to end -
+    the honest variant of the multi-chip gate (VERDICT r3 item 6: a toy
+    config can hide sharding bugs that only materialize with the full
+    irreps ladder and 4-layer batch-stats sync)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(len(jax.devices()), full_size=True)
