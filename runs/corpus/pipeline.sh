@@ -53,10 +53,17 @@ if [ ! -f $PRE/.done ]; then
   [ -f $PRE/last_model.msgpack ] && RESUME="--restart_dir $PRE"
   echo "[pipeline] phase A: ligand-only pretrain (594 synth ligands) $RESUME" >>$LOG
   watch_commit $PRE "ligand-only pretrain" & WPID=$!
+  # bucket floors match phase B exactly: the 594-ligand set collapses from
+  # 19 (A,P,T) buckets (19 multi-minute XLA compiles on this 1-core host -
+  # the silent killer of round 3's phase A) to ~4, all SHARED with phase
+  # B's train-step compiles
   python -m diffphore_tpu.cli.train \
     --train_csv runs/pretrain_synth/train594.csv \
     --val_csv runs/pretrain_synth/val6.csv \
     --ligand_only \
+    --bucket_a_min 24 --bucket_a_step 8 \
+    --bucket_p_min 48 --bucket_p_step 32 \
+    --bucket_t_min 8 --bucket_t_step 4 \
     --batch_size 24 --lr 1e-3 --n_epochs 300 \
     --val_inference_freq 100 --inference_samples 8 \
     --val_loss_freq 10 --ckpt_freq 25 \
@@ -148,6 +155,9 @@ if [ ! -f $EVAL/.done ]; then
     --model_dir $MAIN \
     --out_dir $EVAL \
     --sample_per_complex 40 \
+    --bucket_a_min 24 --bucket_a_step 8 \
+    --bucket_p_min 48 --bucket_p_step 32 \
+    --bucket_t_min 8 --bucket_t_step 4 \
     $CONF_ARGS \
     >> $MAIN.launch.log 2>&1
   rcC=$?
