@@ -52,6 +52,14 @@ def parse_args(argv=None):
     p.add_argument("--max_phore_num", type=int, default=15)
     p.add_argument("--num_workers", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    # bucket floors (same semantics as cli.train): coarse buckets keep the
+    # number of distinct sampler compiles small on a slow-compile host
+    p.add_argument("--bucket_a_min", type=int, default=16)
+    p.add_argument("--bucket_p_min", type=int, default=16)
+    p.add_argument("--bucket_t_min", type=int, default=4)
+    p.add_argument("--bucket_a_step", type=int, default=8)
+    p.add_argument("--bucket_p_step", type=int, default=16)
+    p.add_argument("--bucket_t_step", type=int, default=4)
     p.add_argument("--use_symmetry_rmsd", type=lambda v: str(v).lower() in ("1", "true"), default=False,
                    help="graph-automorphism RMSD (slower); default plain RMSD")
     return p.parse_args(argv)
@@ -80,6 +88,9 @@ def main(argv=None) -> None:
     settings = DatasetSettings(
         min_phore_num=args.min_phore_num, max_phore_num=args.max_phore_num,
         matching=False, keep_original=True,
+        a_min=args.bucket_a_min, p_min=args.bucket_p_min,
+        t_min=args.bucket_t_min, a_step=args.bucket_a_step,
+        p_step=args.bucket_p_step, t_step=args.bucket_t_step,
     )
     dataset = PhoreDataset(records, settings, args.cache_path, args.num_workers, name="eval")
     log_info(f"Evaluating {len(dataset)} complexes, {args.sample_per_complex} poses each")

@@ -99,9 +99,16 @@ PHSCORE_COEFFS = {
 #: Fitted numbers: see the calibration report in the module docstring of
 #: analysis/calibrate_fitscore.py output (committed as
 #: analysis/CALIBRATION.md).
+#: Fitted on the 600 golden poses: RMSE vs golden PhScore1 0.1235 (raw) ->
+#: 0.0822 (calibrated); fitscore_above_0.4 rate 0.260 (raw, inflated) ->
+#: 0.038 (cal) vs 0.070 golden, per-pose threshold agreement 94.2%.
 PHSCORE1_CAL_KNOTS = (
-    (),  # raw-score knots (filled by analysis/calibrate_fitscore.py)
-    (),  # golden-score values
+    (-0.113051, 0.132975, 0.181158, 0.216646, 0.245116, 0.270835, 0.291010,
+     0.309699, 0.330984, 0.347223, 0.370010, 0.397535, 0.425741, 0.462761,
+     0.512456, 0.671428),
+    (-0.676896, 0.090175, 0.140867, 0.161575, 0.188217, 0.192337, 0.203436,
+     0.207176, 0.207176, 0.262673, 0.269165, 0.289286, 0.306142, 0.306142,
+     0.371636, 0.511553),
 )
 
 

@@ -38,6 +38,33 @@
 static const double PI = 3.14159265358979323846;
 static const double K_ALPHA = 2.41798725037;
 
+// Absolute-scale calibration of PhScore1 (mirrors ops/fitscore.py
+// PHSCORE1_CAL_KNOTS): piecewise-linear isotonic fit from the raw
+// volume-overlap score to AncPhore's PhScore1 over the 600 committed
+// golden poses (analysis/calibrate_fitscore.py).  +1e-3*raw keeps the map
+// strictly increasing, so rankings equal the raw rankings exactly.
+static const double CAL_X[] = {
+    -0.113051, 0.132975, 0.181158, 0.216646, 0.245116, 0.270835, 0.291010,
+    0.309699, 0.330984, 0.347223, 0.370010, 0.397535, 0.425741, 0.462761,
+    0.512456, 0.671428};
+static const double CAL_Y[] = {
+    -0.676896, 0.090175, 0.140867, 0.161575, 0.188217, 0.192337, 0.203436,
+    0.207176, 0.207176, 0.262673, 0.269165, 0.289286, 0.306142, 0.306142,
+    0.371636, 0.511553};
+static double calibrate_phscore1(double raw) {
+  const int n = sizeof(CAL_X) / sizeof(CAL_X[0]);
+  double y;
+  if (raw <= CAL_X[0]) y = CAL_Y[0];
+  else if (raw >= CAL_X[n - 1]) y = CAL_Y[n - 1];
+  else {
+    int i = 1;
+    while (raw > CAL_X[i]) ++i;
+    double t = (raw - CAL_X[i - 1]) / (CAL_X[i] - CAL_X[i - 1]);
+    y = CAL_Y[i - 1] + t * (CAL_Y[i] - CAL_Y[i - 1]);
+  }
+  return y + 1e-3 * raw;
+}
+
 enum PType { MB = 0, HD, AR, PO, HA, HY, NE, CV, CR, XB, EX, NUM_TYPES };
 static const char* TYPE_NAMES[] = {"MB", "HD", "AR", "PO", "HA",
                                    "HY", "NE", "CV", "CR", "XB", "EX"};
@@ -620,13 +647,16 @@ int main(int argc, char** argv) {
     // feature counts, n / (N_db + N_ref - n) - decoded exactly from the
     // reference's committed score files (column -5)
     double denom_tf = std::max<double>(n_db + (int)feats.size() - matched, 1.0);
-    double fishing = ph(1, 0, 0) * matched / denom_tf;
+    // PhScore1 (and the fishing score that decodes from it) carry the
+    // golden-set absolute-scale calibration, matching ops/fitscore.py
+    double phscore1 = calibrate_phscore1(ph(1, 0, 0));
+    double fishing = phscore1 * matched / denom_tf;
     // column-index contract: [-6..-1] = custom, fishing, PhScore1..PhScore4
     out << m.name << "\t0.0\t" << ref_id << "\t" << feats.size() << "\t"
         << matched << "\t" << V_db << "\t" << V_ref << "\t" << V_ov << "\t"
         << match_pct << "\t" << V_ex << "\t" << anchor_pct << "\t" << ov_pct
         << "\t" << ex_pct << "\t" << custom << "\t" << fishing << "\t"
-        << ph(1, 0, 0) << "\t" << ph(0.5, 0.5, 0) << "\t" << ph(0.5, 0, 0.5)
+        << phscore1 << "\t" << ph(0.5, 0.5, 0) << "\t" << ph(0.5, 0, 0.5)
         << "\t" << ph(1.0 / 3, 1.0 / 3, 1.0 / 3) << "\n";
   }
   return 0;

@@ -59,10 +59,16 @@ def test_score_columns_against_ancphore(golden):
     rank = lambda x: np.argsort(np.argsort(x))
     rc = np.corrcoef(rank(my_fit), rank(fit_t))[0, 1]
     assert rc > 0.6, rc
-    # decoded combination identities hold internally
+    # decoded combination identities hold internally (on the raw score;
+    # "phscore1" additionally carries the golden-set absolute-scale
+    # calibration, which is strictly monotone in the raw score)
     assert np.allclose(
-        my_fit, np.asarray(s["ov_pct"]) - np.asarray(s["ex_pct"]), atol=1e-6
+        np.asarray(s["phscore1_raw"]),
+        np.asarray(s["ov_pct"]) - np.asarray(s["ex_pct"]), atol=1e-6
     )
+    raw_order = np.argsort(np.asarray(s["phscore1_raw"]))
+    assert (np.diff(my_fit[raw_order]) > -1e-9).all(), \
+        "calibration must preserve the raw ranking"
     assert np.allclose(
         np.asarray(s["phscore4"]),
         (np.asarray(s["ov_pct"]) + np.asarray(s["match_pct"]) + np.asarray(s["anchor_pct"])) / 3
@@ -330,3 +336,22 @@ def test_target_fishing_score(golden):
     np.testing.assert_allclose(fish, expect, rtol=1e-5, atol=1e-7)
     assert fitness_by_index(s, 5).shape == (40,)
     np.testing.assert_allclose(np.asarray(fitness_by_index(s, 5)), fish)
+
+
+def test_phscore1_calibration_table():
+    """Absolute-scale calibration (VERDICT r3 item 3): the embedded isotonic
+    knot table is strictly monotone, and applying it to the golden set's raw
+    scores reproduces the fitted agreement (RMSE 0.082 vs golden, 94%
+    per-pose agreement on the 0.4 threshold - analysis/calibrate_fitscore.py)."""
+    from diffphore_tpu.ops.fitscore import PHSCORE1_CAL_KNOTS, calibrate_phscore1
+
+    kx, ky = map(np.asarray, PHSCORE1_CAL_KNOTS)
+    assert len(kx) == len(ky) >= 8
+    assert (np.diff(kx) > 0).all()
+    assert (np.diff(ky) >= 0).all()  # isotonic (flat blocks allowed)
+    # strict monotonicity of the applied map (the +1e-3*raw blend)
+    xs = np.linspace(kx[0] - 0.5, kx[-1] + 0.5, 301).astype(np.float32)
+    ys = np.asarray(calibrate_phscore1(jnp.asarray(xs)))
+    assert (np.diff(ys) > 0).all()
+    # scale lands in the golden range, not the inflated raw range
+    assert ys[-1] < 0.6  # golden max is 0.591
