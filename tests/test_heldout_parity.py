@@ -1,0 +1,44 @@
+"""Gate the held-out generalization parity readout (VERDICT r3 item 2).
+
+runs/heldout_aug2/DIAGNOSIS.md: the round-3 "STL582276 failure" was a
+target artifact -- the pose-0 ground truth is the reference model's own
+rank-39/40 pose (fitscore -0.039).  Measured against the reference's
+DELIVERED poses (argmax fitscore, reference inference.py:321-350), the
+committed round-3 screen recovers a reference top-5 basin below 2 A on all
+three never-seen ligands.  This test recomputes that readout from the
+committed artifacts so the claim can never silently regress.
+"""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="module")
+def readout():
+    from analysis.heldout_screen_eval import eval_screen
+
+    return eval_screen("runs/heldout_aug2/screen", "runs/heldout/val3.csv")
+
+
+def test_three_heldout_ligands_present(readout):
+    assert readout["_summary"]["n"] == 3
+
+
+def test_parity_all_heldout_recover_a_ref_top5_basin(readout):
+    """Best-of-40 < 2 A of a reference top-5-scored pose, on 3/3."""
+    assert readout["_summary"]["parity_frac_top5_best_lt2"] == 1.0
+
+
+def test_parity_stl582276_recovers_the_delivered_pose(readout):
+    """The round-3 'failure' ligand: < 1 A of the reference's delivered
+    top-1 pose (DIAGNOSIS.md measured 0.81 A)."""
+    r = readout["sQC_Substrate__STL582276"]
+    assert r["vs_delivered_best"] < 1.0, r
+
+
+def test_pose0_readout_unchanged(readout):
+    """The original pose-0 readout stays reproducible (2/3 < 2 A)."""
+    assert readout["_summary"]["frac_best_lt2"] == pytest.approx(2 / 3)
