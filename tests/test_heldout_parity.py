@@ -42,3 +42,23 @@ def test_parity_stl582276_recovers_the_delivered_pose(readout):
 def test_pose0_readout_unchanged(readout):
     """The original pose-0 readout stays reproducible (2/3 < 2 A)."""
     assert readout["_summary"]["frac_best_lt2"] == pytest.approx(2 / 3)
+
+
+@pytest.fixture(scope="module")
+def corpus_readout():
+    from analysis.heldout_screen_eval import eval_screen
+
+    return eval_screen("runs/corpus/main/heldout_screen",
+                       "runs/heldout/val3.csv")
+
+
+def test_corpus_model_recovers_all_heldout(corpus_readout):
+    """The round-4 corpus-trained model (runs/corpus/README.md): best-of-40
+    < 2 A on 3/3 held-out sQC ligands vs BOTH readouts -- the pose-0 target
+    AND the reference's delivered pose.  The round-3 STL582276 sampling
+    failure is gone."""
+    s = corpus_readout["_summary"]
+    assert s["n"] == 3
+    assert s["frac_best_lt2"] == 1.0
+    assert s["parity_frac_delivered_best_lt2"] == 1.0
+    assert s["parity_frac_top5_best_lt2"] == 1.0
