@@ -16,6 +16,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import ast
 import glob
 import json
 import os
@@ -54,7 +55,9 @@ def _parity_readout(row: dict, ref_mol, poses) -> dict:
     hit = df[df["name"] == name]
     if not len(hit):
         return {}
-    fs = np.array(eval(hit.iloc[0]["fitscore"]))  # noqa: S307 trusted artifact
+    # the fitscore cell is a "[...]" float list; the CSV lives under the
+    # (untrusted) reference tree, so parse it as a literal, never eval it
+    fs = np.array(ast.literal_eval(hit.iloc[0]["fitscore"]))
     ref_poses = [m.remove_hs() for m in parse_sdf(lig_path)]
     if len(fs) != len(ref_poses):
         return {}

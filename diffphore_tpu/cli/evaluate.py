@@ -128,7 +128,10 @@ def main(argv=None) -> None:
         except Exception as e:  # noqa: BLE001
             log_warn(f"{batch.names[0]}: sampling failed ({e}), skipped")
             continue
-        run_times.append(time.time() - t0 - (engine.timers.totals["compile"] - c0))
+        # clamp like inference.py: the compile delta is perf_counter-based
+        # and can minutely exceed the time.time interval on a fast row
+        run_times.append(
+            max(time.time() - t0 - (engine.timers.totals["compile"] - c0), 0.0))
         n_atoms = int(meta["n_atoms"])
         orig = np.asarray(meta["orig_pos"])[:n_atoms]
         mol = None

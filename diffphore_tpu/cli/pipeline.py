@@ -275,27 +275,8 @@ class FitEngine:
             ).append(i)
         results: List[Optional[Dict]] = [None] * len(jobs)
         if self.mesh is None:
-            in_flight = []
-            for shapes, idxs in by_shape.items():
-                run = self.compile_bucket(shapes, self.n)
-                for i in idxs:
-                    job = jobs[i]
-                    batch = repeat_batch(job.batch, self.n).replace(
-                        names=(), meta=())
-                    ref = self._row_refs([job], self.n)
-                    if (shapes, self.n) not in self._warmed:
-                        # compile-warming dispatch, discarded (see the
-                        # mesh path below for the run_time rationale)
-                        with self.timers.phase("compile"):
-                            self.key, sub = jax.random.split(self.key)
-                            jax.block_until_ready(
-                                run(self.variables, batch, ref, sub))
-                        self._warmed.add((shapes, self.n))
-                    self.key, sub = jax.random.split(self.key)
-                    with self.timers.phase("dispatch"):
-                        out = run(self.variables, batch, ref, sub)
-                    in_flight.append((i, job, out))
-            for i, job, (pos, scores, traj) in in_flight:
+            def pull(entry):
+                i, job, (pos, scores, traj) = entry
                 with self.timers.phase("denoise"):
                     pos = np.asarray(jax.block_until_ready(pos))
                 scores = {k: np.asarray(v) for k, v in scores.items()}
@@ -315,6 +296,36 @@ class FitEngine:
                     result["trajectory"] = (
                         np.asarray(traj)[:, :, :n_atoms, :] + center)
                 results[i] = result
+
+            # bound device-resident output memory: a deep-enough window to
+            # hide per-dispatch tunnel latency, but not the whole flush
+            # group (with trajectories each output is steps x n x A x 3, so
+            # the window tightens)
+            window = 4 if self.save_trajectory else 16
+            in_flight: List = []
+            for shapes, idxs in by_shape.items():
+                run = self.compile_bucket(shapes, self.n)
+                for i in idxs:
+                    job = jobs[i]
+                    batch = repeat_batch(job.batch, self.n).replace(
+                        names=(), meta=())
+                    ref = self._row_refs([job], self.n)
+                    if (shapes, self.n) not in self._warmed:
+                        # compile-warming dispatch, discarded (see the
+                        # mesh path below for the run_time rationale)
+                        with self.timers.phase("compile"):
+                            self.key, sub = jax.random.split(self.key)
+                            jax.block_until_ready(
+                                run(self.variables, batch, ref, sub))
+                        self._warmed.add((shapes, self.n))
+                    self.key, sub = jax.random.split(self.key)
+                    with self.timers.phase("dispatch"):
+                        out = run(self.variables, batch, ref, sub)
+                    in_flight.append((i, job, out))
+                    if len(in_flight) >= window:
+                        pull(in_flight.pop(0))
+            for entry in in_flight:
+                pull(entry)
             return results
         for shapes, idxs in by_shape.items():
             group = [jobs[i] for i in idxs]

@@ -114,11 +114,27 @@ PHSCORE1_CAL_KNOTS = (
 
 def calibrate_phscore1(raw):
     """Monotone raw -> AncPhore-scale map; identity while the table is
-    empty (pre-fit) so tests and the C++ twin share one code path."""
+    empty (pre-fit) so tests and the C++ twin share one code path.
+
+    Above the last knot the map SLOPE-EXTRAPOLATES the final isotonic
+    segment instead of clamping (round-4 verdict weak #1: ligand-derived
+    phores produce raw scores past the golden support 0.671, and the old
+    clamp collapsed >=75% of corpus-battery poses onto one value, making
+    every fitscore percentile key a constant).  Extrapolation only engages
+    strictly above the golden raw range, so the fitted agreement on the
+    600 golden poses (RMSE 0.082, 94.2% threshold agreement) is unchanged.
+    Below the first knot the clamp stays: the first segment is steep
+    (slope ~3.1) and raw scores there are garbage poses anyway; the
+    +1e-3*raw blend keeps the whole map strictly increasing regardless.
+    """
     kx, ky = PHSCORE1_CAL_KNOTS
     if not len(kx):
         return raw
-    return jnp.interp(raw, jnp.asarray(kx), jnp.asarray(ky)) + 1e-3 * raw
+    kxa, kya = jnp.asarray(kx), jnp.asarray(ky)
+    base = jnp.interp(raw, kxa, kya)
+    hi_slope = (ky[-1] - ky[-2]) / (kx[-1] - kx[-2])
+    base = jnp.where(raw > kx[-1], ky[-1] + (raw - kx[-1]) * hi_slope, base)
+    return base + 1e-3 * raw
 
 
 @struct.dataclass

@@ -55,8 +55,13 @@ static double calibrate_phscore1(double raw) {
   const int n = sizeof(CAL_X) / sizeof(CAL_X[0]);
   double y;
   if (raw <= CAL_X[0]) y = CAL_Y[0];
-  else if (raw >= CAL_X[n - 1]) y = CAL_Y[n - 1];
-  else {
+  else if (raw >= CAL_X[n - 1]) {
+    // slope-extrapolate the last isotonic segment past the golden support
+    // (mirrors ops/fitscore.py calibrate_phscore1; a clamp here collapsed
+    // high-raw poses onto one value, degenerating percentile metrics)
+    double s = (CAL_Y[n - 1] - CAL_Y[n - 2]) / (CAL_X[n - 1] - CAL_X[n - 2]);
+    y = CAL_Y[n - 1] + (raw - CAL_X[n - 1]) * s;
+  } else {
     int i = 1;
     while (raw > CAL_X[i]) ++i;
     double t = (raw - CAL_X[i - 1]) / (CAL_X[i] - CAL_X[i - 1]);

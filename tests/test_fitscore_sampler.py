@@ -353,5 +353,20 @@ def test_phscore1_calibration_table():
     xs = np.linspace(kx[0] - 0.5, kx[-1] + 0.5, 301).astype(np.float32)
     ys = np.asarray(calibrate_phscore1(jnp.asarray(xs)))
     assert (np.diff(ys) > 0).all()
-    # scale lands in the golden range, not the inflated raw range
-    assert ys[-1] < 0.6  # golden max is 0.591
+    # inside the golden support the map reproduces the isotonic fit
+    at_last = float(calibrate_phscore1(jnp.float32(kx[-1])))
+    np.testing.assert_allclose(at_last, ky[-1] + 1e-3 * kx[-1], atol=1e-5)
+    # above the golden support the map slope-extrapolates the final
+    # segment (round-4 verdict weak #1: a clamp here collapsed >=75% of
+    # corpus-battery poses onto one value, so percentile keys degenerated)
+    slope = (ky[-1] - ky[-2]) / (kx[-1] - kx[-2])
+    hi = kx[-1] + 0.25
+    expect_hi = ky[-1] + slope * 0.25 + 1e-3 * hi
+    np.testing.assert_allclose(
+        float(calibrate_phscore1(jnp.float32(hi))), expect_hi, atol=1e-5)
+    # distinct raw scores past the support stay well separated (not just
+    # the 1e-3 blend): percentile keys computed off the tail cannot be
+    # constants
+    tail = np.asarray(calibrate_phscore1(
+        jnp.asarray([kx[-1] + 0.05, kx[-1] + 0.10], jnp.float32)))
+    assert tail[1] - tail[0] > 0.01
