@@ -178,6 +178,9 @@ def main(argv=None) -> None:
         np.save(os.path.join(args.out_dir, fname), arr)
     if conf_arr is not None:
         np.save(os.path.join(args.out_dir, "confidence.npy"), conf_arr)
+    # row order of every npy artifact, for post-hoc stratified readouts
+    # (e.g. the torsion-stratified battery, analysis/stratify_battery.py)
+    json.dump(names, open(os.path.join(args.out_dir, "names.json"), "w"))
 
     no_overlap_idx = None
     if args.test_no_overlap and os.path.exists(args.test_no_overlap):

@@ -54,6 +54,9 @@ def parse_args(argv=None):
     p.add_argument("--cache_path", type=str, default="data/cache")
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--num_dataloader_workers", type=int, default=1)
+    p.add_argument("--featurize_only", action="store_true",
+                   help="featurize + cache the datasets, then exit (for "
+                        "overlapping corpus prep on CPU with TPU training)")
     p.add_argument("--ram_cache", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="keep featurized complexes resident in RAM "
@@ -638,6 +641,15 @@ def main(argv=None) -> None:
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_compile_cache"))
 
+    if args.featurize_only:
+        # populate the featurization cache and exit: lets a CPU-pinned
+        # process (JAX_PLATFORMS=cpu) prepare the corpus while the TPU
+        # trains another phase - the dataset's per-record npz cache +
+        # resume markers make this safe to overlap with a later full run
+        train_ds, val_ds = build_datasets(args)
+        log_info(f"Featurize-only: train={len(train_ds)} "
+                 f"val={len(val_ds) if val_ds else 0} complexes cached")
+        return
     if args.model_type == "tank" and args.confidence_mode:
         raise SystemExit("--confidence_mode is a diff-model training mode; "
                          "it cannot be combined with --model_type tank")

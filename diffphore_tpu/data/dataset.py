@@ -207,7 +207,12 @@ def save_complex(batch: ComplexBatch, path: str) -> None:
     arrays["__meta"] = np.frombuffer(json.dumps(
         {"name": batch.names[0], **{k: v for k, v in meta.items() if isinstance(v, (str, int, float))}}
     ).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **arrays)
+    # atomic write (temp + rename): a --featurize_only process may overlap
+    # a training run on the same cache dir; a torn npz must never be
+    # visible under the final name
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
 
 
 def load_complex(path: str) -> ComplexBatch:

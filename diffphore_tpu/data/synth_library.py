@@ -107,6 +107,178 @@ N_SUBSTITUENTS: Sequence[str] = (
 )
 
 
+# --------------------------------------------------------------------------
+# v2: reference-scale flexible chemistry with a SCAFFOLD-LEVEL split
+# (round-4 verdict missing #2/#3).  Molecules are composed as
+# core + linker + cap (+ optional second arm + decorations) targeting
+# 20-48 heavy atoms and 6-15 rotatable bonds - the reference's operating
+# envelope (ligands to ~60 heavy atoms, dozen-plus torsions; conformer
+# matching exists because of them, reference conformer_matching.py:30-45,
+# torsion machinery utils/torsion.py:64-111).  The held-out ring systems
+# below NEVER appear in pretrain/train/val - test ligands are built from
+# held-out cores AND held-out caps only, so the test Murcko scaffolds are
+# disjoint from everything trained on (the reference's analogous guard is
+# the timesplit_test_no_rec_overlap subset, data/splits/*,
+# datasets/pdbbind_phore.py:920).
+# --------------------------------------------------------------------------
+
+#: train-side cores (carry {R1}; some a second {R2} site).  The v1
+#: SCAFFOLDS above stay train-side too.
+CORES_V2_TRAIN = {
+    "carbazole": "c1cc({R2})c2c(c1)[nH]c1cc({R1})ccc12",
+    "dibenzofuran": "c1cc({R2})c2c(c1)oc1cc({R1})ccc12",
+    "benzoxazole": "c1cc({R2})c2oc({R1})nc2c1",
+    "indole23": "c1ccc2[nH]c({R1})c({R2})c2c1",
+    "pyridopyrazine": "c1cnc2nc({R1})cnc2c1",
+    "disubst_pyridine": "c1c({R2})cc({R1})cn1",
+    "benzofuran": "c1ccc2oc({R1})c({R2})c2c1",
+    "imidazopyridine": "c1ccn2cc({R1})nc2c1",
+    "disubst_benzene": "c1cc({R1})ccc1{R2}",
+}
+
+#: held-out cores: ring systems absent from every train-side pool
+#: (scaffolds, cores, caps, substituents)
+CORES_V2_HELDOUT = {
+    "naphthalene": "c1c({R1})ccc2cc({R2})ccc12",
+    "quinazoline": "c1ccc2c(c1)c({R2})nc({R1})n2",
+    "benzothiophene": "c1ccc2sc({R1})c({R2})c2c1",
+    "chromone": "O=c1cc({R1})oc2cc({R2})ccc12",
+    "indazole": "c1cc({R2})c2c(c1)c({R1})n[nH]2",
+    "thn": "C1Cc2ccc({R1})c({R2})c2CC1",   # tetrahydronaphthalene
+}
+
+#: terminal ring caps, substituent-form (ring digits 8/9)
+CAPS_TRAIN = {
+    "phenyl": "c8ccccc8",
+    "pyridyl": "c8ccncc8",
+    "furyl": "c8ccoc8",
+    "pyrimidinyl": "c8ncccn8",
+    "cyclohexyl": "C8CCCCC8",
+    "fluorophenyl": "c8ccc(F)cc8",
+    "methoxyphenyl": "c8ccc(OC)cc8",
+    "thiazolyl": "c8nccs8",
+}
+#: NOTE: quinolinyl is deliberately NOT here - quinoline is a v1 train-side
+#: scaffold, so it would leak the ring system across the split
+CAPS_HELDOUT = {
+    "naphthyl": "c8ccc9ccccc9c8",
+    "benzodioxolyl": "c8ccc9OCOc9c8",
+    "benzothienyl": "c8cc9ccccc9s8",
+    "indanyl": "C8Cc9ccccc9C8",
+    "chlorothienyl": "c8ccc(Cl)s8",
+}
+
+#: flexible linkers, substituent-form linear chains; the cap fragment is
+#: appended directly (the final atom carries the open valence).  Each
+#: contributes 2-6 rotatable bonds once bonded to core and cap.
+LINKERS = (
+    "CC",                 # ethylene
+    "CCC",                # propylene
+    "OCC",                # ether
+    "OCCC",
+    "OCCOC",              # glycol ether (terminal CH2 bonds the cap)
+    "CNC(=O)",            # reverse amide -> aroyl cap
+    "CC(=O)N",            # amide -> anilide cap
+    "CCNC(=O)C",          # extended amide
+    "NC(=O)CC",
+    "OCC(=O)N",           # ester-amide hybrid chain
+    "CN(C)CC",            # tertiary-amine chain (cation channel)
+    "CSCC",               # thioether
+    "COC(=O)",            # ester -> aroyl ester cap
+    "CCOCC",              # bis-ether chain
+    "NS(=O)(=O)",         # sulfonamide -> aryl sulfonyl cap
+    "CNC(=O)CC",
+    # longer chains push into the reference's upper envelope
+    "CCNC(=O)CCC",
+    "OCCN(C)CC",
+    "CCOCCOC",
+    "CNC(=O)CCNC(=O)",
+    "OCCCNC(=O)",
+)
+
+
+def _compose_v2(rng: np.random.Generator, cores: dict, caps: dict,
+                p_second_arm: float = 0.55):
+    """One core + linker + cap molecule (optionally a second arm on {R2}
+    and an extra decoration), returning (smiles, meta)."""
+    core_name = str(rng.choice(sorted(cores)))
+    core = cores[core_name]
+    cap_name = str(rng.choice(sorted(caps)))
+    arm = str(rng.choice(LINKERS)) + caps[cap_name]
+    out = _fill_site(core, "{R1}", arm)
+    cap2_name = None
+    if "{R2}" in out:
+        if rng.random() < p_second_arm:
+            cap2_name = str(rng.choice(sorted(caps)))
+            arm2 = str(rng.choice(LINKERS)) + caps[cap2_name]
+            out = _fill_site(out, "{R2}", arm2)
+        else:
+            out = _fill_site(out, "{R2}", str(rng.choice(SUBSTITUENTS)))
+    for site in ("{N1}", "{N2}"):
+        if site in out:
+            out = _fill_site(out, site, str(rng.choice(N_SUBSTITUENTS)))
+    meta = {"core": core_name, "caps": [cap_name] +
+            ([cap2_name] if cap2_name else [])}
+    return out, meta
+
+
+def _topo_stats(smiles: str):
+    """(heavy_atoms, n_rotatable, n_feature_atoms) without 3D embedding -
+    candidate filtering is topology-only so generation stays fast; the rare
+    embed failure is dropped later by the dataset's skip-and-log path."""
+    from ..chem.pharmacophore_rules import ligand_phore_features
+    from ..chem.smiles import mol_from_smiles
+    from ..chem.topology import rotatable_bonds
+
+    mol = mol_from_smiles(smiles)
+    edges, _ = rotatable_bonds(mol)
+    fp, _, _, _, _ = ligand_phore_features(mol)
+    n_feat = int((fp[:, :-1].sum(axis=1) > 0).sum())
+    return mol.num_atoms, len(edges), n_feat
+
+
+def generate_library_v2(
+    n: int,
+    seed: int = 0,
+    heldout: bool = False,
+    min_atoms: int = 20,
+    max_atoms: int = 48,
+    min_torsions: int = 6,
+    max_torsions: int = 15,
+    min_features: int = 5,
+    max_tries: Optional[int] = None,
+):
+    """Generate ``n`` distinct reference-scale flexible SMILES from the
+    train-side (default) or held-out scaffold pools.  Returns
+    (smiles_list, meta_list); meta records the ring systems used so the
+    scaffold split is auditable."""
+    rng = np.random.default_rng(seed)
+    cores = dict(CORES_V2_HELDOUT if heldout else CORES_V2_TRAIN)
+    caps = dict(CAPS_HELDOUT if heldout else CAPS_TRAIN)
+    out, metas, seen = [], [], set()
+    tries, budget = 0, max_tries if max_tries is not None else max(30 * n, 300)
+    while len(out) < n and tries < budget:
+        tries += 1
+        try:
+            smiles, meta = _compose_v2(rng, cores, caps)
+            if smiles in seen:
+                continue
+            seen.add(smiles)
+            heavy, tors, feats = _topo_stats(smiles)
+        except Exception:  # noqa: BLE001 - generator: invalid candidates are fine
+            continue
+        if not (min_atoms <= heavy <= max_atoms):
+            continue
+        if not (min_torsions <= tors <= max_torsions):
+            continue
+        if feats < min_features:
+            continue
+        meta.update({"heavy": heavy, "torsions": tors})
+        out.append(smiles)
+        metas.append(meta)
+    return out, metas
+
+
 def _fill_site(out: str, site: str, sub: str) -> str:
     if sub == "":
         # drop the site; remove an enclosing "()" when the site was the
