@@ -121,6 +121,12 @@ def main():
     for i, (phore, owner) in enumerate(zip(phores, names)):
         if phore is None:
             continue
+        if len(phore.all_points) > 160:
+            # same exclusion as the battery: the (48, 160, 16) bucket caps
+            # drop over-sized EX shells (3/60 corpus2 test phores)
+            log_info(f"skip {owner}: phore has {len(phore.all_points)} "
+                     f"points > 160 bucket cap")
+            continue
         # decoys: property-matched by heavy-atom count (closest first,
         # random tie-break), never the active itself
         others = np.asarray([j for j in range(len(mols)) if j != i])
