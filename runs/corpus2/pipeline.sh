@@ -113,11 +113,11 @@ if [ ! -f $MAIN/.done ]; then
     --train_csv runs/corpus2/train.csv \
     --val_csv runs/corpus2/val.csv \
     $AUG $BUCKETS \
-    --batch_size 24 --lr 1e-3 --n_epochs 800 \
+    --batch_size 24 --lr 1e-3 --n_epochs 640 \
     --warmup_epochs 50 --warmup_number 600 \
     --rate_from_infer 0.6 --epoch_from_infer 300 --dynamic_coeff 6.0 \
-    --val_inference_freq 25 --inference_samples 8 \
-    --num_inference_complexes 30 \
+    --val_inference_freq 40 --inference_samples 8 \
+    --num_inference_complexes 16 \
     --val_loss_freq 10 --ckpt_freq 25 \
     $INIT \
     --run_dir $MAIN >> $MAIN.launch.log 2>&1
