@@ -60,6 +60,8 @@ def main():
     p.add_argument("--test_csv", required=True)
     p.add_argument("--model_dir", required=True)
     p.add_argument("--confidence_model_dir", default=None)
+    p.add_argument("--confidence_ckpt",
+                   default="best_ema_inference_epoch_model.msgpack")
     p.add_argument("--out_dir", required=True)
     p.add_argument("--n_phores", type=int, default=0, help="0 = all")
     p.add_argument("--n_decoys", type=int, default=50)
